@@ -1,0 +1,353 @@
+"""Artifact store: serialization of felts, points, SRS, keys and proofs.
+
+Mirrors the reference's three persistent artifact kinds (SURVEY.md §5
+checkpoint/resume): (a) the SRS cache (``srs.hex`` —
+backend/common.go:78-125), (b) proving/verifying keys, (c) proofs — all
+hex-encoded binary blobs (helpers.go:49-94).
+
+Formats:
+  * felts: 32-byte big-endian (byte-identical with the reference,
+    serialize.rs:10-17 / helpers.go:13-22);
+  * felt vectors: ``u32 BE count || felts`` (serialize.rs:33-47);
+  * G1 points: gnark-crypto bn254 flag scheme — top two bits of byte 0:
+    00 uncompressed (64B X||Y BE), 10/11 compressed-smallest/largest-y
+    (32B), 01 infinity. Round-trips through our own codec; byte
+    equality with gnark cannot be validated in this environment
+    (no Go toolchain) and is tracked as a conformance TODO;
+  * SRS / keys / proofs: versioned length-prefixed containers defined
+    here (the reference's blobs are gnark-internal formats produced by
+    ``WriteTo``; ours are specified below so any implementation can
+    parse them).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+from .errors import (
+    DeserializeKeyError,
+    DeserializeProofError,
+    SerializeKeysError,
+)
+from .utils import bigint
+
+Q = bigint.FQ_MODULUS
+R = bigint.FR_MODULUS
+
+_FLAG_MASK = 0b11 << 6
+_FLAG_UNCOMPRESSED = 0b00 << 6
+_FLAG_COMPRESSED_SMALLEST = 0b10 << 6
+_FLAG_COMPRESSED_LARGEST = 0b11 << 6
+_FLAG_INFINITY = 0b01 << 6
+
+
+# ---------------------------------------------------------------------------
+# G1 point codec (gnark-crypto bn254 flag scheme)
+# ---------------------------------------------------------------------------
+
+
+def g1_compress(point) -> bytes:
+    """Affine int point / None -> 32 bytes."""
+    if point is None:
+        out = bytearray(32)
+        out[0] |= _FLAG_INFINITY
+        return bytes(out)
+    x, y = point
+    out = bytearray(x.to_bytes(32, "big"))
+    neg_y = (Q - y) % Q
+    flag = _FLAG_COMPRESSED_LARGEST if y > neg_y else _FLAG_COMPRESSED_SMALLEST
+    out[0] |= flag
+    return bytes(out)
+
+
+def g1_decompress(data: bytes):
+    if len(data) != 32:
+        raise ValueError("compressed G1 point must be 32 bytes")
+    flag = data[0] & _FLAG_MASK
+    if flag == _FLAG_INFINITY:
+        return None
+    x = int.from_bytes(bytes([data[0] & ~_FLAG_MASK]) + data[1:], "big")
+    if x >= Q:
+        raise ValueError("G1 x-coordinate out of range")
+    y2 = (x * x * x + 3) % Q
+    # q == 3 mod 4 -> sqrt by exponentiation.
+    y = pow(y2, (Q + 1) // 4, Q)
+    if y * y % Q != y2:
+        raise ValueError("point not on curve")
+    neg_y = (Q - y) % Q
+    larger, smaller = (y, neg_y) if y > neg_y else (neg_y, y)
+    if flag == _FLAG_COMPRESSED_LARGEST:
+        return (x, larger)
+    if flag == _FLAG_COMPRESSED_SMALLEST:
+        return (x, smaller)
+    raise ValueError(f"bad G1 compression flag {flag:#x}")
+
+
+def g1_uncompressed(point) -> bytes:
+    if point is None:
+        return bytes(64)  # gnark writes all-zero with infinity flag unset? keep 0s
+    x, y = point
+    return x.to_bytes(32, "big") + y.to_bytes(32, "big")
+
+
+def g2_bytes(point) -> bytes:
+    """G2 affine (FQ2 pair) -> 128 bytes uncompressed (x.c1||x.c0||y.c1||y.c0,
+    matching gnark's big-endian component order)."""
+    if point is None:
+        return bytes(128)
+    x, y = point
+    return (
+        x.coeffs[1].to_bytes(32, "big")
+        + x.coeffs[0].to_bytes(32, "big")
+        + y.coeffs[1].to_bytes(32, "big")
+        + y.coeffs[0].to_bytes(32, "big")
+    )
+
+
+def g2_from_bytes(data: bytes):
+    from .utils import hostcurve
+
+    if len(data) != 128:
+        raise ValueError("uncompressed G2 point must be 128 bytes")
+    if data == bytes(128):
+        return None
+    c = [int.from_bytes(data[i * 32 : (i + 1) * 32], "big") for i in range(4)]
+    return (hostcurve.FQ2([c[1], c[0]]), hostcurve.FQ2([c[3], c[2]]))
+
+
+# ---------------------------------------------------------------------------
+# SRS cache (reference: $XDG_CONFIG/noir-lang/srs.hex, common.go:78-144)
+# ---------------------------------------------------------------------------
+
+SRS_MAGIC = b"NTPUSRS1"
+
+
+def srs_to_bytes(srs) -> bytes:
+    pts = srs.g1_ints()
+    out = [SRS_MAGIC, struct.pack(">I", len(pts))]
+    out.extend(g1_compress(p) for p in pts)
+    out.append(g2_bytes(srs.g2_gen))
+    out.append(g2_bytes(srs.g2_alpha))
+    return b"".join(out)
+
+
+def srs_from_bytes(data: bytes):
+    from .kzg.kzg import SRS
+    from .ops import msm as M
+
+    if data[:8] != SRS_MAGIC:
+        raise DeserializeKeyError("bad SRS magic")
+    (count,) = struct.unpack(">I", data[8:12])
+    off = 12
+    pts = []
+    for _ in range(count):
+        pts.append(g1_decompress(data[off : off + 32]))
+        off += 32
+    g2_gen = g2_from_bytes(data[off : off + 128])
+    off += 128
+    g2_alpha = g2_from_bytes(data[off : off + 128])
+    return SRS(
+        g1_powers=M.affine_from_ints(pts), g2_gen=g2_gen, g2_alpha=g2_alpha
+    )
+
+
+def default_srs_path() -> str:
+    cfg = os.environ.get("XDG_CONFIG_HOME", os.path.expanduser("~/.config"))
+    return os.path.join(cfg, "noir-lang-tpu", "srs.hex")
+
+
+def save_srs(srs, path: str | None = None) -> str:
+    path = path or default_srs_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(srs_to_bytes(srs).hex())
+    return path
+
+
+def load_srs(path: str | None = None):
+    path = path or default_srs_path()
+    with open(path) as f:
+        return srs_from_bytes(bytes.fromhex(f.read().strip()))
+
+
+def try_load_srs(size: int, path: str | None = None, alpha: int | None = None):
+    """Load-else-generate-and-save (TryLoadSRS, common.go:127-144).
+
+    The generation alpha is random per machine, exactly like the
+    reference — proofs only verify against keys from the same SRS.
+    """
+    from .kzg import kzg as kzg_mod
+
+    try:
+        srs = load_srs(path)
+        if srs.size >= size:
+            return srs
+    except (FileNotFoundError, ValueError, DeserializeKeyError):
+        pass
+    if alpha is None:
+        alpha = int.from_bytes(os.urandom(32), "big") % R
+    srs = kzg_mod.generate_srs(size, alpha)
+    save_srs(srs, path)
+    return srs
+
+
+# ---------------------------------------------------------------------------
+# Proof / key containers
+# ---------------------------------------------------------------------------
+
+PROOF_MAGIC = b"NTPUPRF1"
+VK_MAGIC = b"NTPUVK_1"
+PK_MAGIC = b"NTPUPK_1"
+
+
+def _pack_felt(v: int) -> bytes:
+    return bigint.felt_to_bytes_be(v % R)
+
+
+def proof_to_bytes(proof) -> bytes:
+    out = [PROOF_MAGIC]
+    for pt in (proof.a, proof.b, proof.c, proof.z, proof.t0, proof.t1, proof.t2):
+        out.append(g1_compress(pt))
+    out.append(struct.pack(">I", len(proof.evals)))
+    out.extend(_pack_felt(v) for v in proof.evals)
+    out.append(_pack_felt(proof.z_omega))
+    out.append(g1_compress(proof.w_zeta))
+    out.append(g1_compress(proof.w_zeta_omega))
+    return b"".join(out)
+
+
+def proof_from_bytes(data: bytes):
+    from .plonk.keys import Proof
+
+    try:
+        if data[:8] != PROOF_MAGIC:
+            raise ValueError("bad proof magic")
+        off = 8
+        pts = []
+        for _ in range(7):
+            pts.append(g1_decompress(data[off : off + 32]))
+            off += 32
+        (ne,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        evals = []
+        for _ in range(ne):
+            evals.append(int.from_bytes(data[off : off + 32], "big") % R)
+            off += 32
+        z_omega = int.from_bytes(data[off : off + 32], "big") % R
+        off += 32
+        w_zeta = g1_decompress(data[off : off + 32])
+        off += 32
+        w_zeta_omega = g1_decompress(data[off : off + 32])
+        return Proof(
+            a=pts[0], b=pts[1], c=pts[2], z=pts[3], t0=pts[4], t1=pts[5], t2=pts[6],
+            evals=evals, z_omega=z_omega, w_zeta=w_zeta, w_zeta_omega=w_zeta_omega,
+        )
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeProofError(str(e)) from e
+
+
+def vk_to_bytes(vk) -> bytes:
+    out = [VK_MAGIC, struct.pack(">QII", vk.n, vk.nb_public, 0)]
+    out.append(_pack_felt(vk.generator))
+    out.append(_pack_felt(vk.k1))
+    out.append(_pack_felt(vk.k2))
+    for pt in vk.commitment_list():
+        out.append(g1_compress(pt))
+    out.append(g2_bytes(vk.g2_gen))
+    out.append(g2_bytes(vk.g2_alpha))
+    return b"".join(out)
+
+
+def vk_from_bytes(data: bytes):
+    from .plonk.keys import VerifyingKey
+
+    try:
+        if data[:8] != VK_MAGIC:
+            raise ValueError("bad vk magic")
+        n, nb_public, _ = struct.unpack(">QII", data[8:24])
+        off = 24
+        felts = []
+        for _ in range(3):
+            felts.append(int.from_bytes(data[off : off + 32], "big") % R)
+            off += 32
+        pts = []
+        for _ in range(8):
+            pts.append(g1_decompress(data[off : off + 32]))
+            off += 32
+        g2_gen = g2_from_bytes(data[off : off + 128])
+        off += 128
+        g2_alpha = g2_from_bytes(data[off : off + 128])
+        return VerifyingKey(
+            n=n, nb_public=nb_public, generator=felts[0], k1=felts[1], k2=felts[2],
+            q_l=pts[0], q_r=pts[1], q_o=pts[2], q_m=pts[3], q_c=pts[4],
+            s1=pts[5], s2=pts[6], s3=pts[7], g2_gen=g2_gen, g2_alpha=g2_alpha,
+        )
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeKeyError(str(e)) from e
+
+
+def pk_to_bytes(pk) -> bytes:
+    """Proving key blob: metadata + wire indices + coeff/eval polys.
+
+    The SRS is NOT embedded (matching the reference: the Go side
+    re-attaches the cached SRS via pk.InitKZG at prove time,
+    backend/plonk/plonk.go:58-63).
+    """
+    import numpy as np
+
+    from .ops import field as F
+
+    try:
+        out = [PK_MAGIC, struct.pack(">QIIII", pk.n, pk.nb_public, pk.nb_vars, pk.k1, pk.k2)]
+        for w in (pk.wire_a, pk.wire_b, pk.wire_c):
+            out.append(np.asarray(w, np.int32).tobytes())
+        for poly in (pk.ql, pk.qr, pk.qo, pk.qm, pk.qc, pk.s1, pk.s2, pk.s3,
+                     pk.s1_evals, pk.s2_evals, pk.s3_evals):
+            arr = np.asarray(poly, np.uint32)
+            out.append(struct.pack(">I", arr.shape[1]))
+            out.append(arr.tobytes())
+        out.append(vk_to_bytes(pk.vk))
+        return b"".join(out)
+    except Exception as e:  # noqa: BLE001 — mapped to the reference's error class
+        raise SerializeKeysError(str(e)) from e
+
+
+def pk_from_bytes(data: bytes, srs=None):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import field as F
+    from .plonk.keys import ProvingKey
+
+    try:
+        if data[:8] != PK_MAGIC:
+            raise ValueError("bad pk magic")
+        n, nb_public, nb_vars, k1, k2 = struct.unpack(">QIIII", data[8:32])
+        off = 32
+        wires = []
+        for _ in range(3):
+            wires.append(np.frombuffer(data[off : off + 4 * n], np.int32).copy())
+            off += 4 * n
+        polys = []
+        for _ in range(11):
+            (cols,) = struct.unpack(">I", data[off : off + 4])
+            off += 4
+            nbytes = 4 * F.NUM_LIMBS * cols
+            arr = np.frombuffer(data[off : off + nbytes], np.uint32).reshape(
+                F.NUM_LIMBS, cols
+            )
+            off += nbytes
+            polys.append(jnp.asarray(arr))
+        vk = vk_from_bytes(data[off:])
+        return ProvingKey(
+            n=n, nb_public=nb_public, nb_vars=nb_vars, k1=k1, k2=k2,
+            wire_a=wires[0], wire_b=wires[1], wire_c=wires[2],
+            ql=polys[0], qr=polys[1], qo=polys[2], qm=polys[3], qc=polys[4],
+            s1=polys[5], s2=polys[6], s3=polys[7],
+            s1_evals=polys[8], s2_evals=polys[9], s3_evals=polys[10],
+            vk=vk, srs=srs,
+        )
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeKeyError(str(e)) from e

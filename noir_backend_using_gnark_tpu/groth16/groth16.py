@@ -1,0 +1,358 @@
+"""Groth16 over BN254: the reference's WIP path (SURVEY.md §2.9), made real.
+
+The reference ships a bit-rotted Groth16 branch: a Rust ``RawR1CS``
+lowering (src/gnark_backend_wrapper/groth16/acir_to_r1cs.rs) whose Go
+counterpart is entirely commented out (backend/groth16/r1cs.go:1-466).
+This module implements the full scheme over the same lowering:
+
+  * R1CS build follows r1cs.go's commented semantics — one internal
+    product variable + product constraint per mul term, then one linear
+    constraint per gate (r1cs.go:32-69) — with the obvious fixes (the
+    commented code dropped the gate constant and indexed witnesses
+    without the index map);
+  * Setup/Prove/Verify are standard Groth16 (Groth16 paper §3.2):
+    QAP via Lagrange evaluation, proof = 2 G1 + 1 G2 points;
+  * the prover's G1 MSMs and the H-polynomial NTTs run on device
+    (ops/msm.py, ops/ntt.py); the single G2 MSM and verification
+    pairings run on host (toy-sized for the reference's programs;
+    device Fq2 arithmetic is a later-round optimization).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..acir import lowering, model
+from ..errors import ProvingError
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt as N
+from ..utils import bigint, hostcurve as H
+
+R = bigint.FR_MODULUS
+FR = F.FR
+
+
+@dataclass
+class R1CS:
+    """Constraint rows A·w ∘ B·w = C·w (sparse, host-side).
+
+    Variables: 0 = ONE, 1..nb_public = public inputs, then secrets,
+    then internal product variables.
+    """
+
+    num_vars: int
+    nb_public: int  # count of public input variables (excluding ONE)
+    a_rows: list  # per row: list[(coeff, var)]
+    b_rows: list
+    c_rows: list
+    index_map: dict
+    public_witness_indices: list
+
+    @property
+    def num_constraints(self):
+        return len(self.a_rows)
+
+
+def build_r1cs(circuit: model.Circuit) -> R1CS:
+    index_map, public_witness_indices, nb_vars = lowering.register_variables(circuit)
+    # shift by 1: variable 0 is the ONE wire (r1cs.go:15 AddPublicVariable("1")).
+    var = {w: i + 1 for w, i in index_map.items()}
+    next_var = nb_vars + 1
+
+    a_rows, b_rows, c_rows = [], [], []
+    for op in circuit.opcodes:
+        if not isinstance(op, model.ArithmeticOpcode):
+            continue
+        terms = []
+        for mt in op.mul_terms:
+            p = next_var
+            next_var += 1
+            a_rows.append([(1, var.get(mt.multiplicand, 0))])
+            b_rows.append([(1, var.get(mt.multiplier, 0))])
+            c_rows.append([(1, p)])
+            terms.append((mt.coefficient % R, p))
+        for st in op.linear_combinations:
+            terms.append((st.coefficient % R, var.get(st.variable, 0)))
+        if op.q_c % R:
+            terms.append((op.q_c % R, 0))
+        # (sum terms) * 1 = 0
+        a_rows.append(terms)
+        b_rows.append([(1, 0)])
+        c_rows.append([])
+    return R1CS(
+        num_vars=next_var,
+        nb_public=len(public_witness_indices),
+        a_rows=a_rows,
+        b_rows=b_rows,
+        c_rows=c_rows,
+        index_map=index_map,
+        public_witness_indices=public_witness_indices,
+    )
+
+
+def full_assignment(r1cs: R1CS, values: list) -> list:
+    """[1, publics..., secrets..., products...] satisfying the R1CS."""
+    w = [0] * r1cs.num_vars
+    w[0] = 1
+    for wit_idx, cs_idx in r1cs.index_map.items():
+        if wit_idx - 1 < len(values):
+            w[cs_idx + 1] = values[wit_idx - 1] % R
+
+    def row_val(row):
+        return sum(c * w[v] for c, v in row) % R
+
+    # Product variables are defined by their product constraints, in order.
+    for a_row, b_row, c_row in zip(r1cs.a_rows, r1cs.b_rows, r1cs.c_rows):
+        if len(c_row) == 1 and c_row[0][1] >= 1 and w[c_row[0][1]] == 0:
+            var_idx = c_row[0][1]
+            prod = row_val(a_row) * row_val(b_row) % R
+            if c_row[0][0] != 1:
+                prod = prod * pow(c_row[0][0], -1, R) % R
+            w[var_idx] = prod
+    return w
+
+
+def check_r1cs(r1cs: R1CS, w: list) -> list:
+    bad = []
+    for i, (ar, br, cr) in enumerate(zip(r1cs.a_rows, r1cs.b_rows, r1cs.c_rows)):
+        av = sum(c * w[v] for c, v in ar) % R
+        bv = sum(c * w[v] for c, v in br) % R
+        cv = sum(c * w[v] for c, v in cr) % R
+        if av * bv % R != cv:
+            bad.append(i)
+    return bad
+
+
+@dataclass
+class Groth16ProvingKey:
+    r1cs: R1CS
+    n: int  # QAP domain size
+    # Device G1 point batches:
+    a_query: M.AffineBatch  # [A_i(tau)]1
+    b1_query: M.AffineBatch  # [B_i(tau)]1
+    l_query: M.AffineBatch  # [(beta A_i + alpha B_i + C_i)/delta]1, i > nb_public
+    h_query: M.AffineBatch  # [tau^i Z(tau)/delta]1
+    # Host points:
+    b2_query: list  # [B_i(tau)]2 (G2, host)
+    alpha1: tuple
+    beta1: tuple
+    delta1: tuple
+    beta2: tuple
+    delta2: tuple
+    vk: "Groth16VerifyingKey" = None
+
+
+@dataclass
+class Groth16VerifyingKey:
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: list  # [(beta A_i + alpha B_i + C_i)/gamma]1 for i <= nb_public
+    nb_public: int
+
+
+@dataclass
+class Groth16Proof:
+    a: tuple
+    b: tuple  # G2
+    c: tuple
+
+
+def _qap_evals_at_tau(r1cs: R1CS, tau: int, n: int):
+    """A_i(tau), B_i(tau), C_i(tau) for all variables, via Lagrange
+    values at tau over the size-n domain (host, sparse)."""
+    dom = N.Domain.get(n)
+    omega = dom.w_int
+    z_tau = (pow(tau, n, R) - 1) % R
+    lag = []
+    n_inv = pow(n, -1, R)
+    for c in range(r1cs.num_constraints):
+        w_c = pow(omega, c, R)
+        lag.append(z_tau * w_c % R * n_inv % R * pow((tau - w_c) % R, -1, R) % R)
+    a_t = [0] * r1cs.num_vars
+    b_t = [0] * r1cs.num_vars
+    c_t = [0] * r1cs.num_vars
+    for row_idx in range(r1cs.num_constraints):
+        l = lag[row_idx]
+        for coeff, v in r1cs.a_rows[row_idx]:
+            a_t[v] = (a_t[v] + coeff * l) % R
+        for coeff, v in r1cs.b_rows[row_idx]:
+            b_t[v] = (b_t[v] + coeff * l) % R
+        for coeff, v in r1cs.c_rows[row_idx]:
+            c_t[v] = (c_t[v] + coeff * l) % R
+    return a_t, b_t, c_t, z_tau
+
+
+def _g1_batch(scalars: list) -> M.AffineBatch:
+    """[s_i]G1 for host scalars, via the device fixed-base path."""
+    tx, ty = C.generator_powers_table(256)
+    sc = F.from_ints(scalars, FR, to_mont=False)
+    jac = C.fixed_base_mul(tx, ty, sc)
+    ax, ay, inf = C.to_affine(jac)
+    return M.AffineBatch(ax, ay, inf)
+
+
+def setup(r1cs: R1CS, rng_seed: bytes | None = None):
+    """Groth16 Setup. Toxic waste is drawn from the seed/urandom and
+    discarded (same trust model as the reference's random SRS alpha,
+    backend/common.go:137)."""
+    import hashlib
+
+    seed = rng_seed if rng_seed is not None else os.urandom(32)
+
+    def draw(label: bytes) -> int:
+        return (
+            int.from_bytes(hashlib.sha256(seed + label).digest(), "big") % (R - 1) + 1
+        )
+
+    alpha, beta, gamma, delta, tau = (
+        draw(b"alpha"), draw(b"beta"), draw(b"gamma"), draw(b"delta"), draw(b"tau")
+    )
+
+    m = r1cs.num_constraints
+    n = max(8, 1 << (m - 1).bit_length())
+    a_t, b_t, c_t, z_tau = _qap_evals_at_tau(r1cs, tau, n)
+
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+    npub = r1cs.nb_public + 1  # + ONE wire
+    ic = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R * gamma_inv % R
+        for i in range(npub)
+    ]
+    l_scalars = [
+        (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R * delta_inv % R
+        for i in range(npub, r1cs.num_vars)
+    ]
+    h_scalars = [pow(tau, i, R) * z_tau % R * delta_inv % R for i in range(n - 1)]
+
+    g1 = H.g1_generator()
+    g2 = H.g2_generator()
+
+    pk = Groth16ProvingKey(
+        r1cs=r1cs,
+        n=n,
+        a_query=_g1_batch(a_t),
+        b1_query=_g1_batch(b_t),
+        l_query=_g1_batch(l_scalars),
+        h_query=_g1_batch(h_scalars),
+        b2_query=[H.g2_mul(g2, s) if s else None for s in b_t],
+        alpha1=H.g1_mul(g1, alpha),
+        beta1=H.g1_mul(g1, beta),
+        delta1=H.g1_mul(g1, delta),
+        beta2=H.g2_mul(g2, beta),
+        delta2=H.g2_mul(g2, delta),
+    )
+    vk = Groth16VerifyingKey(
+        alpha1=pk.alpha1,
+        beta2=pk.beta2,
+        gamma2=H.g2_mul(g2, gamma),
+        delta2=pk.delta2,
+        ic=[H.g1_mul(g1, s) if s else None for s in ic],
+        nb_public=r1cs.nb_public,
+    )
+    pk.vk = vk
+    return pk, vk
+
+
+def _device_msm_ints(batch: M.AffineBatch, scalars: list):
+    sc = F.from_ints([s % R for s in scalars], FR, to_mont=False)
+    out = M.msm(batch, sc)
+    return C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
+
+
+def _h_coefficients(r1cs: R1CS, w: list, n: int) -> list:
+    """h(x) = (A(x)B(x) - C(x)) / Z(x) via device NTTs.
+
+    Evaluate row combinations on the domain, coset-NTT to multiply, and
+    divide by Z on the coset (where Z has no roots).
+    """
+    dom = N.Domain.get(n)
+    shift = bigint.FR_MULTIPLICATIVE_GENERATOR
+
+    def rows_eval_vector(rows):
+        vals = [0] * n
+        for i, row in enumerate(rows):
+            vals[i] = sum(c * w[v] for c, v in row) % R
+        return F.from_ints(vals, FR)
+
+    a_e = rows_eval_vector(r1cs.a_rows)
+    b_e = rows_eval_vector(r1cs.b_rows)
+    c_e = rows_eval_vector(r1cs.c_rows)
+    a_c = N.intt(a_e, dom)
+    b_c = N.intt(b_e, dom)
+    c_c = N.intt(c_e, dom)
+    a_s = N.coset_ntt(a_c, shift, dom)
+    b_s = N.coset_ntt(b_c, shift, dom)
+    c_s = N.coset_ntt(c_c, shift, dom)
+    num = F.sub(F.mont_mul(a_s, b_s, FR), c_s, FR)
+    z_coset = (pow(shift, n, R) - 1) % R  # Z(g*w^i) = g^n - 1, constant
+    zi = F.from_ints([pow(z_coset, -1, R)], FR)
+    h_s = F.mont_mul(num, jax.numpy.broadcast_to(zi.reshape(16, 1), num.shape), FR)
+    h_c = N.coset_intt(h_s, shift, dom)
+    return F.to_ints(h_c, FR)[: n - 1]
+
+
+def prove(pk: Groth16ProvingKey, values: list, rng_seed: bytes | None = None) -> Groth16Proof:
+    import hashlib
+
+    r1cs = pk.r1cs
+    w = full_assignment(r1cs, values)
+    bad = check_r1cs(r1cs, w)
+    if bad:
+        raise ProvingError(f"R1CS unsatisfied at rows {bad[:5]}")
+
+    seed = rng_seed if rng_seed is not None else os.urandom(32)
+    r = int.from_bytes(hashlib.sha256(seed + b"r").digest(), "big") % R
+    s = int.from_bytes(hashlib.sha256(seed + b"s").digest(), "big") % R
+
+    npub = r1cs.nb_public + 1
+    g1 = H.g1_generator()
+
+    # Device MSMs for the big linear combinations.
+    sum_aw = _device_msm_ints(pk.a_query, w)
+    sum_bw1 = _device_msm_ints(pk.b1_query, w)
+    h = _h_coefficients(r1cs, w, pk.n)
+    sum_h = _device_msm_ints(pk.h_query, h)
+    sum_l = _device_msm_ints(pk.l_query, w[npub:]) if r1cs.num_vars > npub else None
+
+    pi_a = H.g1_add(H.g1_add(pk.alpha1, sum_aw), H.g1_mul(pk.delta1, r))
+    pi_b1 = H.g1_add(H.g1_add(pk.beta1, sum_bw1), H.g1_mul(pk.delta1, s))
+
+    # G2 side of pi_b (host MSM over the sparse b2 query).
+    sum_bw2 = None
+    for wi, q in zip(w, pk.b2_query):
+        if wi and q is not None:
+            sum_bw2 = H.g2_add(sum_bw2, H.g2_mul(q, wi))
+    pi_b2 = H.g2_add(H.g2_add(pk.beta2, sum_bw2), None if s == 0 else H.g2_mul(pk.delta2, s))
+
+    pi_c = H.g1_add(sum_l, sum_h)
+    pi_c = H.g1_add(pi_c, H.g1_mul(pi_a, s))
+    pi_c = H.g1_add(pi_c, H.g1_mul(pi_b1, r))
+    pi_c = H.g1_add(pi_c, H.g1_neg(H.g1_mul(pk.delta1, r * s % R)))
+    return Groth16Proof(a=pi_a, b=pi_b2, c=pi_c)
+
+
+def verify(vk: Groth16VerifyingKey, proof: Groth16Proof, public_inputs: list) -> bool:
+    if len(public_inputs) != vk.nb_public:
+        return False
+    acc = vk.ic[0]
+    for p, q in zip(public_inputs, vk.ic[1:]):
+        if q is not None and p % R:
+            acc = H.g1_add(acc, H.g1_mul(q, p % R))
+    # e(A, B) == e(alpha, beta) * e(acc, gamma) * e(C, delta)
+    return H.pairing_product_is_one(
+        [
+            (H.g1_neg(proof.a), proof.b),
+            (vk.alpha1, vk.beta2),
+            (acc, vk.gamma2),
+            (proof.c, vk.delta2),
+        ]
+    )

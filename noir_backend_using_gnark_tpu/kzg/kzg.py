@@ -1,0 +1,156 @@
+"""KZG polynomial commitments over BN254 (commit/open on TPU, verify on host).
+
+Replaces gnark-crypto's ``kzg`` package (the commitment engine under
+plonk.Setup/Prove/Verify — reference backend/common.go:137 builds a
+1M-point SRS via ``kzg.NewSRS``):
+
+  * ``commit`` = Pippenger MSM over the SRS G1 powers (ops/msm.py);
+  * ``open`` = synthetic division by (X - z) via the scan-based Horner
+    layer (ops/poly.py), then one more MSM;
+  * batched openings fold many polynomials with powers of a transcript
+    challenge before a single division+MSM;
+  * ``verify`` needs two pairings on O(1) points — host-side
+    (utils/hostcurve.py), exactly like the reference delegates to CPU
+    gnark for verification.
+
+SRS generation mirrors ``kzg.NewSRS(size, alpha)``: powers of a secret
+alpha over G1 plus [alpha]G2 (the toxic waste is the caller's RNG —
+random per machine in the reference, common.go:127-144).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt as N
+from ..ops import poly as P
+from ..utils import bigint, hostcurve
+
+FR = F.FR
+FQ = F.FQ
+
+
+@dataclass
+class SRS:
+    """Structured reference string.
+
+    g1_powers: device AffineBatch of [alpha^i]G1, i < size.
+    g2: ([1]G2, [alpha]G2) as host FQ2 affine pairs (verifier side only).
+    """
+
+    g1_powers: M.AffineBatch
+    g2_gen: tuple
+    g2_alpha: tuple
+
+    @property
+    def size(self) -> int:
+        return self.g1_powers.n
+
+    def g1_ints(self, count: int | None = None):
+        """Host affine ints of the first ``count`` powers (for codecs)."""
+        batch = self.g1_powers
+        if count is not None:
+            batch = M.AffineBatch(
+                batch.x[:, :count], batch.y[:, :count], batch.inf[:count]
+            )
+        jac = C.JacobianPoint(
+            batch.x,
+            batch.y,
+            F.select(batch.inf, F.zeros(batch.inf.shape), F.one_mont(FQ, batch.inf.shape)),
+        )
+        return C.to_affine_ints(jac)
+
+
+def generate_srs(size: int, alpha: int) -> SRS:
+    """Powers-of-alpha SRS. The G1 powers are computed on device: the
+    scalar powers alpha^i come from a parallel prefix scan, and the
+    batched fixed-base multiply is 256 lane-parallel mixed adds
+    (ops/curve.fixed_base_mul) — not ``size`` sequential scalar muls.
+    """
+    alpha %= bigint.FR_MODULUS
+    base = F.from_ints([alpha], FR)
+    scalars_mont = N.powers_of(base, size, FR)  # (16, size), Montgomery
+    scalars = F.from_mont(scalars_mont, FR)
+    table_x, table_y = C.generator_powers_table(256)
+    jac = C.fixed_base_mul(table_x, table_y, scalars)
+    ax, ay, inf = C.to_affine(jac)
+    g1 = M.AffineBatch(ax, ay, inf)
+    g2_gen = hostcurve.g2_generator()
+    g2_alpha = hostcurve.g2_mul(g2_gen, alpha)
+    return SRS(g1_powers=g1, g2_gen=g2_gen, g2_alpha=g2_alpha)
+
+
+def commit(srs: SRS, coeffs: jax.Array) -> C.JacobianPoint:
+    """[f(alpha)]G1 for Montgomery-form coefficients (16, n)."""
+    n = coeffs.shape[1]
+    if n > srs.size:
+        raise ValueError(f"polynomial degree {n - 1} exceeds SRS size {srs.size}")
+    points = M.AffineBatch(
+        srs.g1_powers.x[:, :n], srs.g1_powers.y[:, :n], srs.g1_powers.inf[:n]
+    )
+    scalars = F.from_mont(coeffs, FR)
+    return M.msm(points, scalars)
+
+
+def commit_ints(srs: SRS, coeffs: jax.Array):
+    """Commit and return the affine int point (host)."""
+    pt = commit(srs, coeffs)
+    return C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], pt))[0]
+
+
+def open_at(srs: SRS, coeffs: jax.Array, z: jax.Array):
+    """Single-poly opening: returns (proof point [q(alpha)]G1 device,
+    value f(z) as (16,1) Montgomery array)."""
+    q, rem = P.divide_by_linear(coeffs, z)
+    return commit(srs, q), rem
+
+
+def batch_open_at(srs: SRS, polys: list, z: jax.Array, gamma: int):
+    """Batched opening at one point z.
+
+    Folds the polynomials with powers of the (Fiat-Shamir) challenge
+    gamma, divides once, commits once. Returns (proof affine ints,
+    values list of f_i(z) host ints).
+    """
+    weights = [F.from_ints([pow(gamma, i, FR.modulus)], FR) for i in range(len(polys))]
+    values = [P.eval_at(p, z) for p in polys]
+    folded = P.linear_combination(polys, weights)
+    q, _ = P.divide_by_linear(folded, z)
+    proof = commit_ints(srs, q)
+    return proof, [F.to_ints(v, FR)[0] for v in values]
+
+
+def verify_open(
+    commitment, z: int, value: int, proof, g2_gen, g2_alpha
+) -> bool:
+    """Host pairing check: e(C - [v]G1 + z*W, G2) * e(-W, [alpha]G2) == 1.
+
+    All points are affine int tuples (or None for infinity).
+    """
+    g1 = hostcurve.g1_generator()
+    lhs = hostcurve.g1_add(commitment, hostcurve.g1_neg(hostcurve.g1_mul(g1, value)))
+    lhs = hostcurve.g1_add(lhs, hostcurve.g1_mul(proof, z))
+    return hostcurve.pairing_product_is_one(
+        [(lhs, g2_gen), (hostcurve.g1_neg(proof), g2_alpha)]
+    )
+
+
+def verify_batch_open(
+    commitments: list, z: int, values: list, proof, gamma: int, g2_gen, g2_alpha
+) -> bool:
+    """Verify a batched opening: fold commitments/values with gamma
+    powers on the host, then one pairing check."""
+    r = bigint.FR_MODULUS
+    folded_c = None
+    folded_v = 0
+    for i, (c, v) in enumerate(zip(commitments, values)):
+        w = pow(gamma, i, r)
+        folded_c = hostcurve.g1_add(folded_c, hostcurve.g1_mul(c, w) if c else None)
+        folded_v = (folded_v + w * v) % r
+    return verify_open(folded_c, z, folded_v, proof, g2_gen, g2_alpha)

@@ -1,0 +1,142 @@
+"""Distributed four-step NTT over a device mesh (shard_map + all_to_all).
+
+The single-chip NTT (ops/ntt.py) is bandwidth-bound on one chip's HBM;
+past ~2^22 coefficients the working set and the FLOPs both want to be
+partitioned. The classic four-step decomposition maps a size n = n1*n2
+transform onto a mesh with ONE global transpose:
+
+  view x as an (n1, n2) matrix (row-major), shard the i2 columns:
+    1. local column NTTs (size n1) — every device owns whole columns;
+    2. local twiddle scaling by w^(i2*k1);
+    3. all_to_all: re-shard from i2-split to k1-split (the only
+       inter-chip traffic: n/D elements per device pair, riding ICI);
+    4. local row NTTs (size n2);
+  output X[k1 + n1*k2] = Z[k1, k2], returned in natural order.
+
+The inverse transform is the same pipeline with inverse twiddle tables
+and a final 1/n scale. Compare SURVEY.md §5 "long-context" analogue:
+butterfly stages whose stride crosses the shard boundary become the
+transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import field as F
+from ..ops import ntt as N
+from ..utils import bigint
+from .mesh import SHARD_AXIS
+
+FR = F.FR
+R = bigint.FR_MODULUS
+
+
+def _inline_ntt_last(a: jax.Array, table: jax.Array, rev: np.ndarray) -> jax.Array:
+    """Traced (inline) NTT along the last axis; a: (16, ..., n).
+
+    Used inside shard_map bodies where the transform must be part of a
+    single traced computation (the host-driven per-stage variant in
+    ops/ntt.py cannot cross a shard_map boundary).
+    """
+    n = a.shape[-1]
+    k = n.bit_length() - 1
+    a = jnp.take(a, jnp.asarray(rev), axis=-1)
+    for s in range(1, k + 1):
+        m = 1 << s
+        half = m >> 1
+        stride = n // m
+        idx = (np.arange(half) * stride).astype(np.int32)
+        tw = jnp.take(table, jnp.asarray(idx), axis=1)  # (16, half)
+        shape = a.shape
+        a = a.reshape(shape[:-1] + (n // m, m))
+        u = a[..., :half]
+        tw_b = tw.reshape((16,) + (1,) * (a.ndim - 2) + (half,))
+        v = F.mont_mul(a[..., half:], tw_b, FR)
+        a = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=-1)
+        a = a.reshape(shape)
+    return a
+
+
+def _split_sizes(n: int, n_dev: int) -> tuple[int, int]:
+    """Pick n = n1 * n2 with both factors divisible by n_dev."""
+    k = n.bit_length() - 1
+    k1 = k // 2
+    while (1 << k1) % n_dev and k1 < k:
+        k1 += 1
+    n1 = 1 << k1
+    n2 = n // n1
+    if n1 % n_dev or n2 % n_dev:
+        raise ValueError(f"cannot split n=2^{k} over {n_dev} devices")
+    return n1, n2
+
+
+def four_step_ntt(
+    x: jax.Array, mesh, inverse: bool = False
+) -> jax.Array:
+    """Distributed (I)NTT of (16, n) over ``mesh``; natural order in/out.
+
+    Must be called under jit (or traced) with replicated-or-sharded x;
+    internally shard-maps over SHARD_AXIS.
+    """
+    n = x.shape[1]
+    n_dev = mesh.devices.size
+    n1, n2 = _split_sizes(n, n_dev)
+    dom_n = N.Domain.get(n)
+    dom1 = N.Domain.get(n1)
+    dom2 = N.Domain.get(n2)
+
+    if inverse:
+        table_n = dom_n.inv_table()
+        t1, t2 = dom1.inv_table(), dom2.inv_table()
+    else:
+        table_n = dom_n.fwd_table()
+        t1, t2 = dom1.fwd_table(), dom2.fwd_table()
+    # Full-period tables for the twiddle gather (exponents < n).
+    w_full = jnp.concatenate([table_n, N._scale_vec(table_n, _minus_one())], axis=1) \
+        if table_n.shape[1] * 2 == n else table_n
+    rev1, rev2 = dom1.rev, dom2.rev
+    loc2 = n2 // n_dev
+
+    def body(m_loc):
+        # m_loc: (16, n1, n2/D)
+        y = jnp.swapaxes(
+            _inline_ntt_last(jnp.swapaxes(m_loc, 1, 2), t1, rev1), 1, 2
+        )  # col NTTs of size n1
+        d = jax.lax.axis_index(SHARD_AXIS)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc2), 0)
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc2), 1) + d * loc2
+        exp = (k1 * i2) % n
+        tw = jnp.take(w_full, exp, axis=1)  # (16, n1, loc2)
+        y = F.mont_mul(y, tw, FR)
+        y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=1, concat_axis=2, tiled=True)
+        # y: (16, n1/D, n2); row NTTs of size n2
+        z = _inline_ntt_last(y, t2, rev2)
+        return jnp.swapaxes(z, 1, 2)  # (16, n2, n1/D)
+
+    m = x.reshape(16, n1, n2)
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, None, SHARD_AXIS),
+        out_specs=P(None, None, SHARD_AXIS),
+    )(m)
+    out = out.reshape(16, n)  # X[k2 * n1 + k1] == Z[k1, k2] via the transpose
+    if inverse:
+        n_inv = F.from_ints([pow(n, -1, R)], FR)
+        out = F.mont_mul(out, jnp.broadcast_to(n_inv.reshape(16, 1), out.shape), FR)
+    return out
+
+
+def _minus_one():
+    return F.from_ints([R - 1], FR)
+
+
+def four_step_intt(x: jax.Array, mesh) -> jax.Array:
+    return four_step_ntt(x, mesh, inverse=True)

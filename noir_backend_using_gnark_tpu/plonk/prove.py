@@ -1,0 +1,307 @@
+"""PLONK prover (device compute pipeline).
+
+Our replacement for gnark's ``plonk.Prove`` — the part of the reference
+that is ~99% of prove time (SURVEY.md §3.1 hot loop (b)). Every
+polynomial-sized operation runs on the TPU: wire gathering, NTTs/coset
+NTTs, the permutation grand product (parallel prefix scan + batched
+inversion), quotient construction, and all KZG commitments/openings
+(Pippenger MSMs). Host work is O(1): transcript hashing and a handful
+of scalar field ops.
+
+Protocol: vanilla PLONK (GWC19) with 3 wires, *expanded openings* —
+selectors and sigmas are opened at zeta so the verifier evaluates the
+full identity numerically (no linearization poly). See
+plonk/keys.py for the proof layout and transcript.py for Fiat-Shamir.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ProvingError
+from ..kzg import kzg
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt as N
+from ..ops import poly as P
+from ..ops import scan_utils
+from ..utils import bigint
+from .keys import Proof, ProvingKey, ZETA_OPENING_LABELS
+from .setup import K1, K2
+from .transcript import Transcript
+
+FR = F.FR
+R = bigint.FR_MODULUS
+
+#: Coset shift for the 4n quotient-evaluation domain.
+QUOTIENT_SHIFT = bigint.FR_MULTIPLICATIVE_GENERATOR
+
+
+def _sparse_poly(length: int, entries: dict) -> jax.Array:
+    """Mostly-zero coefficient array with a few host-int entries
+    (Montgomery form) — used to add blinding multiples of Z_H."""
+    arr = np.zeros((F.NUM_LIMBS, length), np.uint32)
+    r_mont = 1 << 256
+    for idx, val in entries.items():
+        limbs = bigint.int_to_limbs(val % R * r_mont % R)
+        for i, l in enumerate(limbs):
+            arr[i, idx] = l
+    return jnp.asarray(arr)
+
+
+def _blind(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
+    """coeffs (16, n) + (sum_i blinds[i] X^i) * (X^n - 1), len n+len(b)."""
+    k = len(blinds)
+    out = jnp.pad(coeffs, ((0, 0), (0, k)))
+    entries = {}
+    for i, b in enumerate(blinds):
+        entries[i] = (entries.get(i, 0) - b) % R
+        entries[n + i] = (entries.get(n + i, 0) + b) % R
+    return F.add(out, _sparse_poly(n + k, entries), FR)
+
+
+@jax.jit
+def _mul_combine(a, b):
+    return F.mont_mul(a, b, FR)
+
+
+def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
+    return jnp.take(assignment, jnp.asarray(idx), axis=1)
+
+
+def _coset_evals(coeffs: jax.Array, big_n: int, domain4: N.Domain) -> jax.Array:
+    padded = jnp.pad(coeffs, ((0, 0), (0, big_n - coeffs.shape[1])))
+    return N.coset_ntt(padded, QUOTIENT_SHIFT, domain4)
+
+
+def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) -> Proof:
+    """Generate a PLONK proof for the cs-variable assignment.
+
+    ``assignment_ints``: host ints, publics first (lowering order).
+    ``rng_seed``: optional 32-byte seed for deterministic blinding
+    (None = os.urandom — fresh randomness per proof, like gnark's
+    randomized prover; BASELINE.md bit-exactness caveat).
+    """
+    n = pk.n
+    domain = N.Domain.get(n)
+    big_n = 4 * n
+    domain4 = N.Domain.get(big_n)
+    omega = domain.w_int
+
+    if len(assignment_ints) != pk.nb_vars:
+        raise ProvingError(
+            f"assignment length {len(assignment_ints)} != nb_vars {pk.nb_vars}"
+        )
+    publics = [v % R for v in assignment_ints[: pk.nb_public]]
+
+    seed = rng_seed if rng_seed is not None else os.urandom(32)
+    blind_state = [seed, 0]
+
+    def draw_blind():
+        import hashlib
+
+        blind_state[1] += 1
+        return (
+            int.from_bytes(
+                hashlib.sha256(blind_state[0] + blind_state[1].to_bytes(4, "big")).digest(),
+                "big",
+            )
+            % R
+        )
+
+    assignment = F.from_ints(assignment_ints, FR)
+
+    # ---- Round 1: wire polynomials ------------------------------------
+    wa_e = _gather_wires(assignment, pk.wire_a)  # (16, n) evaluations
+    wb_e = _gather_wires(assignment, pk.wire_b)
+    wc_e = _gather_wires(assignment, pk.wire_c)
+
+    a_c = _blind(N.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
+    b_c = _blind(N.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
+    c_c = _blind(N.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
+
+    com_a = kzg.commit_ints(pk.srs, a_c)
+    com_b = kzg.commit_ints(pk.srs, b_c)
+    com_c = kzg.commit_ints(pk.srs, c_c)
+
+    ts = Transcript("noirtpu-plonk-v1")
+    ts.absorb(b"n", pk.n.to_bytes(8, "big"))
+    for p in publics:
+        ts.absorb_felt(b"public", p)
+    ts.absorb_point(b"a", com_a)
+    ts.absorb_point(b"b", com_b)
+    ts.absorb_point(b"c", com_c)
+    beta = ts.challenge(b"beta")
+    gamma = ts.challenge(b"gamma")
+
+    # ---- Round 2: permutation grand product ---------------------------
+    xs = N.powers_of(F.from_ints([omega], FR), n, FR)  # omega^i
+    beta_d = F.from_ints([beta], FR)
+    gamma_col = F.from_ints([gamma] * n, FR)
+
+    def lin(w_e, ids):
+        # w + beta*ids + gamma, elementwise over rows
+        return F.add(F.add(w_e, P.scale_poly(ids, beta_d), FR), gamma_col, FR)
+
+    k1_d = F.from_ints([K1], FR)
+    k2_d = F.from_ints([K2], FR)
+    num = _mul_combine(
+        _mul_combine(lin(wa_e, xs), lin(wb_e, P.scale_poly(xs, k1_d))),
+        lin(wc_e, P.scale_poly(xs, k2_d)),
+    )
+    den = _mul_combine(
+        _mul_combine(lin(wa_e, pk.s1_evals), lin(wb_e, pk.s2_evals)),
+        lin(wc_e, pk.s3_evals),
+    )
+    ratio = _mul_combine(num, F.batch_inv(den, FR))
+    prefix = scan_utils.inclusive_scan(_mul_combine, ratio)
+    one = F.one_mont(FR, (1,))
+    z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
+
+    z_c = _blind(N.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()])
+    com_z = kzg.commit_ints(pk.srs, z_c)
+    ts.absorb_point(b"z", com_z)
+    alpha = ts.challenge(b"alpha")
+
+    # ---- Round 3: quotient --------------------------------------------
+    a4 = _coset_evals(a_c, big_n, domain4)
+    b4 = _coset_evals(b_c, big_n, domain4)
+    c4 = _coset_evals(c_c, big_n, domain4)
+    z4 = _coset_evals(z_c, big_n, domain4)
+    zw4 = jnp.roll(z4, -4, axis=1)  # z(omega * x) on the coset (omega = w4^4)
+    ql4 = _coset_evals(pk.ql, big_n, domain4)
+    qr4 = _coset_evals(pk.qr, big_n, domain4)
+    qo4 = _coset_evals(pk.qo, big_n, domain4)
+    qm4 = _coset_evals(pk.qm, big_n, domain4)
+    qc4 = _coset_evals(pk.qc, big_n, domain4)
+    s14 = _coset_evals(pk.s1, big_n, domain4)
+    s24 = _coset_evals(pk.s2, big_n, domain4)
+    s34 = _coset_evals(pk.s3, big_n, domain4)
+
+    # PI polynomial: -pub_i at row i, else 0.
+    pi_evals = F.from_ints(
+        [(-p) % R for p in publics] + [0] * (n - len(publics)), FR
+    )
+    pi4 = _coset_evals(N.intt(pi_evals, domain), big_n, domain4)
+
+    # L0 = (1/n) * sum X^j.
+    n_inv = pow(n, -1, R)
+    l0_c = F.from_ints([n_inv] * n, FR)
+    l04 = _coset_evals(l0_c, big_n, domain4)
+
+    # Coset points x = g * w4^j and Z_H^{-1}(x) (period-4 pattern).
+    xs4 = P.scale_poly(
+        N.powers_of(F.from_ints([domain4.w_int], FR), big_n, FR),
+        F.from_ints([QUOTIENT_SHIFT], FR),
+    )
+    g_n = pow(QUOTIENT_SHIFT, n, R)
+    i4 = pow(domain4.w_int, n, R)
+    zh_pat = []
+    for j in range(4):
+        v = (g_n * pow(i4, j, R) - 1) % R
+        if v == 0:
+            raise ProvingError("quotient coset intersects the domain")
+        zh_pat.append(pow(v, -1, R))
+    zh_inv4 = jnp.tile(F.from_ints(zh_pat, FR), (1, n))
+
+    gamma4 = F.from_ints([gamma] * big_n, FR)
+
+    def lin4(w4_, ids4):
+        return F.add(F.add(w4_, P.scale_poly(ids4, beta_d), FR), gamma4, FR)
+
+    gate = F.add(
+        F.add(
+            F.add(_mul_combine(ql4, a4), _mul_combine(qr4, b4), FR),
+            F.add(_mul_combine(qo4, c4), _mul_combine(qm4, _mul_combine(a4, b4)), FR),
+            FR,
+        ),
+        F.add(qc4, pi4, FR),
+        FR,
+    )
+    perm_pos = _mul_combine(
+        _mul_combine(
+            _mul_combine(lin4(a4, xs4), lin4(b4, P.scale_poly(xs4, k1_d))),
+            lin4(c4, P.scale_poly(xs4, k2_d)),
+        ),
+        z4,
+    )
+    perm_neg = _mul_combine(
+        _mul_combine(_mul_combine(lin4(a4, s14), lin4(b4, s24)), lin4(c4, s34)), zw4
+    )
+    alpha_d = F.from_ints([alpha], FR)
+    alpha2_d = F.from_ints([alpha * alpha % R], FR)
+    one4 = F.one_mont(FR, (big_n,))
+    l1term = P.scale_poly(_mul_combine(l04, F.sub(z4, one4, FR)), alpha2_d)
+    numer = F.add(
+        gate,
+        F.add(P.scale_poly(F.sub(perm_pos, perm_neg, FR), alpha_d), l1term, FR),
+        FR,
+    )
+    t4 = _mul_combine(numer, zh_inv4)
+    t_c = N.coset_intt(t4, QUOTIENT_SHIFT, domain4)  # degree <= 2n+4
+
+    chunk = n + 2
+    t0_c = t_c[:, :chunk]
+    t1_c = t_c[:, chunk : 2 * chunk]
+    t2_c = t_c[:, 2 * chunk : 3 * chunk]
+    com_t0 = kzg.commit_ints(pk.srs, t0_c)
+    com_t1 = kzg.commit_ints(pk.srs, t1_c)
+    com_t2 = kzg.commit_ints(pk.srs, t2_c)
+    ts.absorb_point(b"t0", com_t0)
+    ts.absorb_point(b"t1", com_t1)
+    ts.absorb_point(b"t2", com_t2)
+    zeta = ts.challenge(b"zeta")
+
+    # ---- Round 4: evaluations -----------------------------------------
+    zeta_d = F.from_ints([zeta], FR)
+    zeta_omega_d = F.from_ints([zeta * omega % R], FR)
+
+    opened = {
+        "a": a_c,
+        "b": b_c,
+        "c": c_c,
+        "z": z_c,
+        "s1": pk.s1,
+        "s2": pk.s2,
+        "s3": pk.s3,
+        "ql": pk.ql,
+        "qr": pk.qr,
+        "qo": pk.qo,
+        "qm": pk.qm,
+        "qc": pk.qc,
+        "t0": t0_c,
+        "t1": t1_c,
+        "t2": t2_c,
+    }
+    polys = [opened[k] for k in ZETA_OPENING_LABELS]
+    evals = [F.to_ints(P.eval_at(p, zeta_d), FR)[0] for p in polys]
+    z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
+
+    for label, v in zip(ZETA_OPENING_LABELS, evals):
+        ts.absorb_felt(label.encode(), v)
+    ts.absorb_felt(b"z_omega", z_omega_val)
+    nu = ts.challenge(b"nu")
+
+    # ---- Round 5: opening proofs --------------------------------------
+    w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu)
+    q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
+    w_zeta_omega = kzg.commit_ints(pk.srs, q_zw)
+
+    return Proof(
+        a=com_a,
+        b=com_b,
+        c=com_c,
+        z=com_z,
+        t0=com_t0,
+        t1=com_t1,
+        t2=com_t2,
+        evals=evals,
+        z_omega=z_omega_val,
+        w_zeta=w_zeta,
+        w_zeta_omega=w_zeta_omega,
+    )

@@ -1,0 +1,155 @@
+"""Host-side big-integer utilities for the TPU prover.
+
+Curve/field constants for BN254 and conversions between Python ints,
+byte strings (the backend wire format) and 16x16-bit limb vectors (the
+on-device representation used by :mod:`..ops.field`).
+
+Wire-format notes (kept byte-compatible with the reference backend):
+  * A field element ("felt") crosses the reference's FFI as a 32-byte
+    big-endian blob, hex-encoded (reference: src/gnark_backend_wrapper/
+    serialize.rs:10-17 reverses arkworks' LE serialization into BE, and
+    gnark decodes it with ``Element.SetBytes`` which is BE —
+    gnark_backend_ffi/internal/backend/helpers.go:13-22).
+  * A felt *vector* is ``u32 BE count || 32B-BE felts``, hex-encoded
+    (serialize.rs:33-47 / ``Vector.UnmarshalBinary`` helpers.go:24-33).
+
+On-device representation: little-endian limbs, 16 limbs x 16 bits held in
+uint32 lanes, so every partial product of two limbs fits exactly in a
+uint32 (max (2^16-1)^2 < 2^32) and carry chains stay in-lane on the VPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BN254 constants
+# ---------------------------------------------------------------------------
+
+# Scalar field modulus r (the "Fr" the prover works over; coefficients of
+# ACIR gates are elements of this field — see the p-1 coefficient
+# 0x30644e72...f0000000 in the reference's inline ACIR fixtures,
+# gnark_backend_ffi/main.go:233-246).
+FR_MODULUS = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+# Base field modulus q (coordinates of BN254 points).
+FQ_MODULUS = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+# BN254 curve: y^2 = x^3 + 3 over Fq; generator of G1.
+G1_GENERATOR = (1, 2)
+
+# Fr multiplicative-subgroup facts used by the NTT: r - 1 = 2^28 * odd.
+FR_TWO_ADICITY = 28
+# 5 generates (a superset of) the 2^28-torsion: ROOT_OF_UNITY has exact
+# order 2^28 (verified in tests/test_field.py).
+FR_MULTIPLICATIVE_GENERATOR = 5
+FR_ROOT_OF_UNITY = pow(5, (FR_MODULUS - 1) >> FR_TWO_ADICITY, FR_MODULUS)
+
+# G2 over Fq2 = Fq[u]/(u^2+1): y^2 = x^3 + 3/(9+u). Generator (c0, c1) pairs.
+G2_GENERATOR_X = (
+    10857046999023057135944570762232829481370756359578518086990519993285655852781,
+    11559732032986387107991004021392285783925812861821192530917403151452391805634,
+)
+G2_GENERATOR_Y = (
+    8495653923123431417604973247489272438418190587263600148770280649306958101930,
+    4082367875863433681332203403145435568316851327593401208105741076214120093531,
+)
+
+# Limb scheme: 16 limbs x 16 bits (little-endian), totaling 256 bits.
+LIMB_BITS = 16
+NUM_LIMBS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+# ---------------------------------------------------------------------------
+# int <-> limb conversions (host side)
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x: int) -> tuple[int, ...]:
+    """Split a <2^256 integer into 16 little-endian 16-bit limbs."""
+    if not 0 <= x < (1 << 256):
+        raise ValueError("value out of range for 16x16-bit limbs")
+    return tuple((x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(NUM_LIMBS))
+
+
+def limbs_to_int(limbs) -> int:
+    """Inverse of :func:`int_to_limbs`."""
+    acc = 0
+    for i, limb in enumerate(limbs):
+        acc |= int(limb) << (LIMB_BITS * i)
+    return acc
+
+
+def ints_to_limb_array(values, dtype=np.uint32) -> np.ndarray:
+    """Pack an iterable of ints into a limb-major uint32 array (16, N).
+
+    Limb-major so that a single limb of the whole batch is contiguous and
+    lands on TPU vector lanes.
+    """
+    values = list(values)
+    out = np.empty((NUM_LIMBS, len(values)), dtype=dtype)
+    for j, v in enumerate(values):
+        v = int(v)
+        for i in range(NUM_LIMBS):
+            out[i, j] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def limb_array_to_ints(arr: np.ndarray) -> list[int]:
+    """Inverse of :func:`ints_to_limb_array` for a (16, N) array."""
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[1]
+    return [limbs_to_int(arr[:, j]) for j in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Wire-format codecs (reference-compatible)
+# ---------------------------------------------------------------------------
+
+def felt_to_bytes_be(x: int) -> bytes:
+    """Serialize a felt as the reference does: 32 bytes big-endian.
+
+    Mirrors serialize.rs:10-17 (ark LE reversed to BE) == gnark
+    ``Element.Bytes()``.
+    """
+    return int(x).to_bytes(32, "big")
+
+
+def felt_from_bytes_be(b: bytes, modulus: int = FR_MODULUS) -> int:
+    """Deserialize like gnark ``Element.SetBytes`` (helpers.go:13-22):
+    interpret big-endian and reduce mod the field."""
+    return int.from_bytes(b, "big") % modulus
+
+
+def encode_felts(felts) -> str:
+    """``u32 BE count || 32B-BE felts``, hex-encoded (serialize.rs:33-47)."""
+    felts = list(felts)
+    buf = len(felts).to_bytes(4, "big")
+    for f in felts:
+        buf += felt_to_bytes_be(f)
+    return buf.hex()
+
+
+def decode_felts(encoded: str, modulus: int = FR_MODULUS) -> list[int]:
+    """Inverse of :func:`encode_felts` (helpers.go:24-33 /
+    ``Vector.UnmarshalBinary``)."""
+    raw = bytes.fromhex(encoded)
+    if len(raw) < 4:
+        raise ValueError("encoded felts shorter than the u32 count prefix")
+    n = int.from_bytes(raw[:4], "big")
+    body = raw[4:]
+    if len(body) != 32 * n:
+        raise ValueError(f"encoded felts: expected {32*n} body bytes, got {len(body)}")
+    return [felt_from_bytes_be(body[32 * i : 32 * i + 32], modulus) for i in range(n)]
+
+
+def decode_felt_hex(encoded: str, modulus: int = FR_MODULUS) -> int:
+    """Hex string -> felt, the coefficient format inside ACIR JSON
+    (helpers.go:13-22; fixtures main.go:233-246)."""
+    return felt_from_bytes_be(bytes.fromhex(encoded), modulus)
+
+
+def encode_felt_hex(x: int) -> str:
+    return felt_to_bytes_be(x).hex()

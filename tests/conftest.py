@@ -1,0 +1,85 @@
+"""Test configuration: CPU backend, 8 virtual devices, fusion disabled.
+
+Environment subtleties this file works around:
+
+  * the machine's sitecustomize imports jax at interpreter start (to
+    register the TPU relay plugin) with ``JAX_PLATFORMS=axon``, so by
+    the time pytest runs, XLA_FLAGS has already been consumed by
+    jaxlib. Env-var edits from here would be silently ignored —
+    therefore the process RE-EXECS itself once with the corrected
+    environment;
+  * the re-exec must happen with pytest's fd-level capture *suspended*,
+    otherwise the new process inherits pytest's temp-file stdout and
+    all test output vanishes;
+  * XLA's CPU fusion pass is quadratic in graph size for our
+    big-integer limb arithmetic (a 16-mul chain: 81s with fusion, 5s
+    without), so CPU test compiles run with the fusion passes disabled.
+
+Tests always run on CPU with 8 virtual devices so the multi-chip
+sharding paths (parallel/) are exercised without TPU hardware and
+results are bit-deterministic.
+"""
+
+import os
+import random
+import faulthandler
+import signal
+import sys
+
+import numpy as np
+import pytest
+
+# `kill -USR1 <pid>` dumps all thread stacks — for diagnosing stalls on
+# this 2-core box (e.g. hung remote compiles) without a debugger.
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+
+_REQUIRED_FLAGS = (
+    "--xla_force_host_platform_device_count=8",
+    "--xla_disable_hlo_passes=fusion,cpu-fusion",
+)
+
+
+def _env_ok() -> bool:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if any(f.split("=")[0] not in flags for f in _REQUIRED_FLAGS):
+        return False
+    return os.environ.get("JAX_PLATFORMS") == "cpu"
+
+
+def pytest_configure(config):
+    if os.environ.get("NOIRTPU_CONFTEST_REEXEC") or _env_ok():
+        _configure_jax()
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    missing = [f for f in _REQUIRED_FLAGS if f.split("=")[0] not in flags]
+    os.environ["XLA_FLAGS"] = " ".join([flags] + missing).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["NOIRTPU_CONFTEST_REEXEC"] = "1"
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    # sys.orig_argv preserves the exact original command line
+    # (including "-m pytest"), unlike sys.argv.
+    os.execv(sys.executable, list(sys.orig_argv))
+
+
+def _configure_jax():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the limb-arithmetic graphs are big
+    # (a mont_mul traces to ~300 HLO ops, a curve add to ~2.5k) and
+    # dominate first-run test wall-clock; cache across invocations.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/noirtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+@pytest.fixture
+def rng():
+    return random.Random(1234)
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(1234)

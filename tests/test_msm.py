@@ -1,0 +1,51 @@
+"""Pippenger MSM tests vs the naive host MSM."""
+
+import numpy as np
+
+from noir_backend_using_gnark_tpu.ops import field as F
+from noir_backend_using_gnark_tpu.ops import msm as M
+from noir_backend_using_gnark_tpu.utils import hostcurve as H
+
+
+def test_extract_digits():
+    s = F.from_ints([0x1234567890ABCDEF], F.FR, to_mont=False)
+    digits = np.asarray(M.extract_digits(s, 8, 8))[:, 0]
+    want = [(0x1234567890ABCDEF >> (8 * w)) & 0xFF for w in range(8)]
+    assert list(digits) == want
+    # 12-bit windows straddle limb boundaries
+    digits = np.asarray(M.extract_digits(s, 12, 6))[:, 0]
+    want = [(0x1234567890ABCDEF >> (12 * w)) & 0xFFF for w in range(6)]
+    assert list(digits) == want
+
+
+def test_msm_small(rng):
+    g = H.g1_generator()
+    pts = [H.g1_mul(g, rng.randrange(1, H.R)) for _ in range(7)]
+    scalars = [rng.randrange(H.R) for _ in range(6)] + [0]
+    got = M.msm_ints(pts, scalars, c=4)
+    want = H.g1_msm(pts, scalars)
+    assert got == want
+
+
+def test_msm_with_infinity_and_dups(rng):
+    g = H.g1_generator()
+    p = H.g1_mul(g, 7)
+    pts = [g, g, None, p, H.g1_neg(p), None, g]
+    scalars = [1, 2, 5, 11, 11, 3, 0]
+    got = M.msm_ints(pts, scalars, c=4)
+    want = H.g1_msm(pts, scalars)
+    assert got == want
+
+
+def test_msm_window_sizes(rng):
+    g = H.g1_generator()
+    n = 7  # same shapes as test_msm_small (compile-cache friendly)
+    pts = [H.g1_mul(g, rng.randrange(1, H.R)) for _ in range(n)]
+    scalars = [rng.randrange(H.R) for _ in range(n)]
+    want = H.g1_msm(pts, scalars)
+    assert M.msm_ints(pts, scalars, c=8) == want
+
+
+def test_msm_all_zero_scalars():
+    g = H.g1_generator()
+    assert M.msm_ints([g, g], [0, 0], c=4) is None

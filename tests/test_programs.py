@@ -1,0 +1,76 @@
+"""Integration tier: the 15 reconstructed reference test programs.
+
+Mirrors tests/tests.rs:101-138 — check/compile/execute/gates run for
+every program; the full prove/verify round trip runs for a
+representative subset by default (all 15 under ``-m slow`` — the
+2-core CI box makes 15 full proofs expensive).
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from noir_backend_using_gnark_tpu import cli
+from noir_backend_using_gnark_tpu.acir import lowering, parse, solver
+from noir_backend_using_gnark_tpu.utils import bigint
+
+PROGRAMS_DIR = pathlib.Path(__file__).parent / "programs"
+ALL_PROGRAMS = sorted(p.name for p in PROGRAMS_DIR.iterdir() if p.is_dir())
+
+# Same list as the reference suite (tests/tests.rs:104-120).
+REFERENCE_PROGRAMS = [
+    "array_neq", "assign_ex", "bool_not", "bool_or", "cast_bool",
+    "comptime_recursion_regression", "generics", "global_consts",
+    "main_bool_arg", "modules", "modules_more", "pred_eq",
+    "priv_x_eq_pub_y", "priv_x_neq_pub_y", "struct",
+]
+
+PROVE_SUBSET = ["priv_x_neq_pub_y", "priv_x_eq_pub_y", "assign_ex"]
+
+
+def test_all_reference_programs_present():
+    assert ALL_PROGRAMS == sorted(REFERENCE_PROGRAMS)
+
+
+@pytest.mark.parametrize("name", REFERENCE_PROGRAMS)
+def test_check_and_execute(name, tmp_path):
+    """check -> gates -> execute (witness solving) for every program."""
+    pkg = str(PROGRAMS_DIR / name)
+    circuit, abi = cli._load_package(pkg)
+    initial = cli._toml_witness(os.path.join(pkg, "Prover.toml"), abi)
+    witness = solver.solve(circuit, initial)
+    values = solver.dense_values(circuit, witness)
+    # The solved witness satisfies the lowered PLONK system.
+    pc = lowering.lower_to_plonk(circuit)
+    assignment = lowering.build_assignment(pc, values)
+    assert lowering.check_satisfied(pc, assignment, bigint.FR_MODULUS) == []
+
+
+@pytest.mark.parametrize("name", PROVE_SUBSET)
+def test_prove_verify_subset(name, tmp_path, monkeypatch):
+    _cli_round_trip(name, tmp_path, monkeypatch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [p for p in REFERENCE_PROGRAMS if p not in PROVE_SUBSET])
+def test_prove_verify_rest(name, tmp_path, monkeypatch):
+    _cli_round_trip(name, tmp_path, monkeypatch)
+
+
+def _cli_round_trip(name, tmp_path, monkeypatch):
+    """Drive the CLI exactly as the reference drives nargo."""
+    import shutil
+
+    pkg = tmp_path / name
+    shutil.copytree(PROGRAMS_DIR / name, pkg)
+    srs = str(tmp_path / "srs.hex")
+    args = ["--srs-path", srs, "--srs-size", "1024", "--seed", "ab" * 32]
+    assert cli.main(["check", str(pkg)] + args) == 0
+    assert cli.main(["compile", str(pkg)] + args) == 0
+    assert cli.main(["execute", str(pkg)] + args) == 0
+    assert cli.main(["gates", str(pkg)] + args) == 0
+    assert cli.main(["prove", str(pkg)] + args) == 0
+    assert cli.main(["verify", str(pkg)] + args) == 0

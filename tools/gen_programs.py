@@ -1,0 +1,253 @@
+"""Generate the 15 test-program packages (ACIR + TOML) for the CLI suite.
+
+The reference's integration tier compiles 15 Noir programs with a
+forked nargo and drives check/compile/execute/prove/verify over them
+(tests/tests.rs:101-138). No Noir compiler ships in this environment,
+so each program's constraint semantics are hand-lowered to ACIR with
+acir/builder.py; the Prover/Verifier TOML inputs match the reference's.
+
+Run: python tools/gen_programs.py [outdir]   (default tests/programs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from noir_backend_using_gnark_tpu.acir import parse
+from noir_backend_using_gnark_tpu.acir.builder import CircuitBuilder
+from noir_backend_using_gnark_tpu.acir.model import BlackBoxFunc
+
+ARRAY_A = [77, 75, 108, 209, 54, 16, 50, 202, 155, 210, 174, 185, 217, 0, 170, 77,
+           69, 217, 234, 216, 10, 201, 66, 51, 116, 196, 81, 167, 37, 77, 7, 102]
+ARRAY_B = [44] + ARRAY_A[1:]
+
+
+def _toml(d: dict) -> str:
+    lines = []
+    for k, v in d.items():
+        if isinstance(v, list):
+            lines.append(f"{k} = {json.dumps(v)}")
+        elif isinstance(v, bool):
+            lines.append(f"{k} = {'true' if v else 'false'}")
+        else:
+            lines.append(f'{k} = "{v}"')
+    return "\n".join(lines) + "\n"
+
+
+def program_array_neq():
+    b = CircuitBuilder()
+    a = b.witnesses(32)
+    bb = b.witnesses(32)
+    b.assert_arrays_neq(a, bb)
+    return b, {"a": a, "b": bb}, {"a": ARRAY_A, "b": ARRAY_B}, {}
+
+
+def program_assign_ex():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    z = b.add(x, y)
+    b.assert_eq_const(z, 3)
+    z2 = b.mul(x, y)
+    b.assert_eq_const(z2, 2)
+    return b, {"x": x, "y": y}, {"x": "1", "y": "2"}, {}
+
+
+def program_bool_not():
+    b = CircuitBuilder()
+    x = b.witness()
+    b.range_check(x, 1)
+    b.assert_bool(x)
+    nx = b.bool_not(x)
+    b.assert_eq_const(nx, 0)
+    return b, {"x": x}, {"x": "1"}, {}
+
+
+def program_bool_or():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    for w in (x, y):
+        b.range_check(w, 1)
+        b.assert_bool(w)
+    o = b.bool_or(x, y)
+    b.assert_eq_const(o, 1)
+    o2 = b.bool_or(o, x)
+    b.assert_eq_const(o2, 1)
+    return b, {"x": x, "y": y}, {"x": "1", "y": "0"}, {}
+
+
+def program_cast_bool():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    z = b.is_eq(x, y)
+    b.assert_eq_const(z, 1)
+    return b, {"x": x, "y": y}, {"x": "10", "y": "10"}, {}
+
+
+def program_comptime_recursion_regression():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    f1 = b.is_eq(x, b.constant(1))
+    f2 = b.is_eq(y, b.constant(2))
+    flag = b.bool_or(f1, f2)
+    # constrain flag | false == flag  ->  flag == flag (kept as a gate).
+    b.assert_eq(flag, flag)
+    return b, {"x": x, "y": y}, {"x": "5", "y": "6"}, {}
+
+
+def program_generics():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    b.assert_eq(x, y)  # foo(bar1)
+    b.assert_eq(x, y)  # foo(bar2)
+    c1, c2 = b.constant(1), b.constant(2)
+    b.assert_neq(c2, c1)  # int1.second(int2): [1] != [2]
+    b.assert_neq(c2, c1)  # .first(int1)
+    b.assert_eq(c2, c2)  # limbs == int2.limbs
+    c0 = b.constant(0)
+    b.assert_eq(c0, c0)  # bar1.get_other() == bar1.other
+    return b, {"x": x, "y": y}, {"x": "2", "y": "2"}, {}
+
+
+def program_global_consts():
+    b = CircuitBuilder()
+    a = b.witnesses(32)
+    bb = b.witnesses(30 + 2)[:32]
+    # b has length 30 + N/2 = 32 in the source (30 + 5/2 rounds to 32).
+    c = b.witnesses(3, public=True)  # c : pub [Field; 3]
+    d = b.witnesses(5)
+    three = b.constant(3)
+    for ci in c:
+        b.assert_eq(ci, three)  # c[i] == MAGIC_NUMBER
+        b.assert_eq(ci, three)  # test_struct.y[i] == MAGIC_NUMBER
+    b.assert_neq(b.constant(5), b.constant(32))  # N != M
+    b.assert_eq_const(b.constant(42), 42)  # TYPE_INFERRED == 42
+    b.assert_eq_const(b.constant(24), 24)  # y == 24
+    b.assert_eq_const(b.constant(10), 10)  # x == 10
+    q = b.mul(three, b.constant(32))
+    b.assert_eq_const(q, 96)  # multiplyByM(3) == 96
+    b.assert_arrays_neq(a, bb)
+    b.assert_eq_const(b.constant(32), 32)  # t[1] == 32
+    b.assert_eq_const(b.constant(15), 15)  # my_helper / submodule sums
+    b.assert_eq_const(b.constant(15), 15)
+    b.assert_eq_const(b.constant(0), 0)  # sugared[N+1] == 0
+    five = b.constant(5)
+    for di in d:
+        b.assert_eq(di, five)  # from_foo(d): d[i] == 5
+    for ci in c:
+        b.assert_eq(ci, three)  # from_baz(c)
+    return (
+        b,
+        {"a": a, "b": bb, "c": c, "d": d},
+        {"a": ARRAY_A, "b": ARRAY_B, "c": [3, 3, 3], "d": [5, 5, 5, 5, 5]},
+        {"c": [3, 3, 3]},
+    )
+
+
+def program_main_bool_arg():
+    b = CircuitBuilder()
+    x = b.witness()
+    y = b.witnesses(2)
+    for w in [x] + y:
+        b.range_check(w, 1)
+        b.assert_bool(w)
+    b.assert_eq_const(x, 1)  # constrain x
+    b.assert_neq(y[0], y[1])
+    return b, {"x": x, "y": y}, {"x": True, "y": [True, False]}, {}
+
+
+def program_modules():
+    b = CircuitBuilder()
+    x = b.witness()
+    y = b.witness(public=True)
+    b.assert_neq(x, y)  # x != foo::hello(y) == y
+    return b, {"x": x, "y": y}, {"x": "2", "y": "13"}, {"y": "13"}
+
+
+def program_modules_more():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    b.assert_neq(x, y)  # x != from_bar(y) == y
+    return b, {"x": x, "y": y}, {"x": "5", "y": "15"}, {}
+
+
+def program_pred_eq():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    p = b.is_eq(x, y)
+    b.assert_eq_const(p, 1)
+    return b, {"x": x, "y": y}, {"x": "1", "y": "1"}, {}
+
+
+def program_priv_x_eq_pub_y():
+    b = CircuitBuilder()
+    x = b.witness()
+    y = b.witness(public=True)
+    b.assert_eq(x, y)
+    return b, {"x": x, "y": y}, {"x": "10", "y": "10"}, {"y": "10"}
+
+
+def program_priv_x_neq_pub_y():
+    b = CircuitBuilder()
+    x = b.witness()
+    y = b.witness(public=True)
+    b.assert_neq(x, y)
+    return b, {"x": x, "y": y}, {"x": "1", "y": "2"}, {"y": "2"}
+
+
+def program_struct():
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness()
+    c0, c1 = b.constant(0), b.constant(1)
+    b.assert_eq(c0, x)  # p.bar() == x  (bar defaults to 0)
+    b.assert_eq(c1, y)  # p.second == y
+    b.assert_neq(x, y)  # array[0] != array[1]
+    b.assert_eq_const(c1, 1)  # my_bool == true; a_bool == true
+    b.assert_eq_const(b.constant(5), 5)  # my_int == 5
+    b.assert_eq(x, c0)  # my_nest.a == 0
+    return b, {"x": x, "y": y}, {"x": "0", "y": "1"}, {}
+
+
+PROGRAMS = {
+    "array_neq": program_array_neq,
+    "assign_ex": program_assign_ex,
+    "bool_not": program_bool_not,
+    "bool_or": program_bool_or,
+    "cast_bool": program_cast_bool,
+    "comptime_recursion_regression": program_comptime_recursion_regression,
+    "generics": program_generics,
+    "global_consts": program_global_consts,
+    "main_bool_arg": program_main_bool_arg,
+    "modules": program_modules,
+    "modules_more": program_modules_more,
+    "pred_eq": program_pred_eq,
+    "priv_x_eq_pub_y": program_priv_x_eq_pub_y,
+    "priv_x_neq_pub_y": program_priv_x_neq_pub_y,
+    "struct": program_struct,
+}
+
+
+def generate(outdir: str):
+    for name, fn in PROGRAMS.items():
+        builder, abi, prover, verifier = fn()
+        circuit = builder.build()
+        pkg = os.path.join(outdir, name)
+        os.makedirs(pkg, exist_ok=True)
+        with open(os.path.join(pkg, "circuit.acir.json"), "w") as f:
+            f.write(parse.circuit_to_json(circuit))
+        with open(os.path.join(pkg, "abi.json"), "w") as f:
+            json.dump(abi, f)
+        with open(os.path.join(pkg, "Prover.toml"), "w") as f:
+            f.write(_toml(prover))
+        with open(os.path.join(pkg, "Verifier.toml"), "w") as f:
+            f.write(_toml(verifier) if verifier else "")
+        print(f"generated {name}: {len(circuit.opcodes)} opcodes, "
+              f"{len(circuit.public_inputs)} publics")
+
+
+if __name__ == "__main__":
+    generate(sys.argv[1] if len(sys.argv) > 1 else
+             os.path.join(os.path.dirname(__file__), "..", "tests", "programs"))
