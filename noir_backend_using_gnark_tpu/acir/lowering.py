@@ -37,6 +37,9 @@ import numpy as np
 from ..errors import UnsupportedOpcodeError
 from . import model
 
+#: test hook: force the pure-Python lowering/check paths.
+_FORCE_PYTHON = False
+
 
 @dataclass
 class PlonkCircuit:
@@ -90,8 +93,38 @@ def register_variables(circuit: model.Circuit):
 
 
 def lower_to_plonk(circuit: model.Circuit) -> PlonkCircuit:
-    """ACIR -> PLONK gate table (BuildSparseR1CS equivalent)."""
+    """ACIR -> PLONK gate table (BuildSparseR1CS equivalent).
+
+    Dispatches the per-opcode walk to the native C++ runtime when
+    available (native/src/noirtpu_native.cpp::noirtpu_lower_plonk, the
+    same arity rules); the Python loop below is the reference twin.
+    """
+    from .. import native
+
     index_map, public_witness_indices, nb_vars = register_variables(circuit)
+
+    if native.available() and not _FORCE_PYTHON:
+        packed = native.PackedArithmetic(circuit)
+        imap = np.zeros(packed.n_wit, np.int32)
+        for w, v in index_map.items():
+            imap[w] = v
+        ql_n, qr_n, qo_n, qm_n, qc_n, xa_n, xb_n, xc_n = native.lower_plonk(
+            packed, imap
+        )
+        return PlonkCircuit(
+            nb_public=len(public_witness_indices),
+            nb_vars=nb_vars,
+            q_l=native.u64x4_to_ints(ql_n),
+            q_r=native.u64x4_to_ints(qr_n),
+            q_o=native.u64x4_to_ints(qo_n),
+            q_m=native.u64x4_to_ints(qm_n),
+            q_c=native.u64x4_to_ints(qc_n),
+            wire_a=xa_n,
+            wire_b=xb_n,
+            wire_c=xc_n,
+            index_map=index_map,
+            public_witness_indices=public_witness_indices,
+        )
 
     q_l, q_r, q_o, q_m, q_c = [], [], [], [], []
     wa, wb, wc = [], [], []
@@ -176,7 +209,27 @@ def check_satisfied(pc: PlonkCircuit, assignment: list, modulus: int):
     """Debug helper: verify every gate equation over the assignment.
 
     Returns the list of violated gate indices (empty == satisfied).
+    Native fast path for the Fr modulus (noirtpu_check_satisfied).
     """
+    from .. import native
+    from ..utils import bigint
+
+    if (
+        native.available()
+        and not _FORCE_PYTHON
+        and modulus == bigint.FR_MODULUS
+        and pc.n_gates > 0
+    ):
+        return native.check_satisfied(
+            native.ints_to_u64x4([v % modulus for v in pc.q_l]),
+            native.ints_to_u64x4([v % modulus for v in pc.q_r]),
+            native.ints_to_u64x4([v % modulus for v in pc.q_o]),
+            native.ints_to_u64x4([v % modulus for v in pc.q_m]),
+            native.ints_to_u64x4([v % modulus for v in pc.q_c]),
+            pc.wire_a, pc.wire_b, pc.wire_c,
+            native.ints_to_u64x4([v % modulus for v in assignment]),
+        )
+
     bad = []
     for g in range(pc.n_gates):
         a = assignment[pc.wire_a[g]]

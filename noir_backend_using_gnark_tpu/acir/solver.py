@@ -105,7 +105,88 @@ def solve(circuit: model.Circuit, initial_witness: dict) -> dict:
     ``initial_witness``: 1-based ACIR witness index -> field int (the
     Prover.toml inputs). Returns the completed witness map. Raises
     OpcodeResolutionError if the circuit cannot be fully solved.
+
+    Dispatches the arithmetic-opcode fixpoint to the native C++ runtime
+    when available (native/src/noirtpu_native.cpp — the equivalent of
+    acvm's pwg loop the reference runs in Rust); directives and black
+    boxes are always orchestrated here.
     """
+    from .. import native
+
+    if native.available() and not _FORCE_PYTHON:
+        return _solve_native(circuit, initial_witness)
+    return _solve_python(circuit, initial_witness)
+
+
+#: test hook: force the pure-Python pwg loop.
+_FORCE_PYTHON = False
+
+
+def _solve_native(circuit: model.Circuit, initial_witness: dict) -> dict:
+    """Alternate native arithmetic fixpoints with Python directive /
+    black-box solving until neither makes progress."""
+    import numpy as np
+
+    from .. import native
+
+    packed = native.PackedArithmetic(circuit)
+    values = np.zeros((packed.n_wit, 4), np.uint64)
+    known = np.zeros(packed.n_wit, np.uint8)
+    for k, v in initial_witness.items():
+        if not 0 <= k < packed.n_wit:
+            raise OpcodeResolutionError(f"initial witness index {k} out of range")
+        values[k] = native.ints_to_u64x4([v % FR])[0]
+        known[k] = 1
+    op_done = np.zeros(max(packed.n_ops, 1), np.uint8)
+    others = [
+        op for op in circuit.opcodes if not isinstance(op, model.ArithmeticOpcode)
+    ]
+    other_done = [False] * len(others)
+
+    remaining = packed.n_ops
+    while True:
+        remaining = native.solve_arithmetic(packed, values, known, op_done)
+        if not any(not d for d in other_done):
+            break
+        # Materialize the known map once per round for the Python tier.
+        ints = native.u64x4_to_ints(values)
+        witness = {i: ints[i] for i in range(packed.n_wit) if known[i]}
+        before = len(witness)
+        progress = False
+        for i, op in enumerate(others):
+            if other_done[i]:
+                continue
+            if isinstance(op, model.Directive):
+                if _solve_directive(op, witness):
+                    other_done[i] = True
+                    progress = True
+            elif isinstance(op, model.BlackBoxFuncCall):
+                try:
+                    blackbox.solve_black_box(op, witness)
+                    other_done[i] = True
+                    progress = True
+                except KeyError:
+                    pass
+            else:
+                raise OpcodeResolutionError(f"unknown opcode {type(op).__name__}")
+        if progress and len(witness) > before:
+            for k, v in witness.items():
+                if 0 <= k < packed.n_wit and not known[k]:
+                    values[k] = native.ints_to_u64x4([v % FR])[0]
+                    known[k] = 1
+        if not progress:
+            break
+
+    unsolved = remaining + sum(1 for d in other_done if not d)
+    if unsolved:
+        raise OpcodeResolutionError(
+            f"witness solving stuck with {unsolved} unsolved opcodes"
+        )
+    ints = native.u64x4_to_ints(values)
+    return {i: ints[i] for i in range(packed.n_wit) if known[i]}
+
+
+def _solve_python(circuit: model.Circuit, initial_witness: dict) -> dict:
     witness = {k: v % FR for k, v in initial_witness.items()}
     pending = list(circuit.opcodes)
 

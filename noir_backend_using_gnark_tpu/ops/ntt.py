@@ -91,15 +91,20 @@ class Domain:
         return cls._cache[n]
 
     def fwd_table(self) -> jax.Array:
+        # ensure_compile_time_eval: the lazy fill may first be hit inside
+        # a jit trace; without it a tracer would leak into the cache and
+        # poison every later transform (UnexpectedTracerError).
         if self._fwd_table is None:
-            base = F.from_ints([self.w_int], self.spec)
-            self._fwd_table = powers_of(base, max(self.n // 2, 1), self.spec)
+            with jax.ensure_compile_time_eval():
+                base = F.from_ints([self.w_int], self.spec)
+                self._fwd_table = powers_of(base, max(self.n // 2, 1), self.spec)
         return self._fwd_table
 
     def inv_table(self) -> jax.Array:
         if self._inv_table is None:
-            base = F.from_ints([self.w_inv_int], self.spec)
-            self._inv_table = powers_of(base, max(self.n // 2, 1), self.spec)
+            with jax.ensure_compile_time_eval():
+                base = F.from_ints([self.w_inv_int], self.spec)
+                self._inv_table = powers_of(base, max(self.n // 2, 1), self.spec)
         return self._inv_table
 
 

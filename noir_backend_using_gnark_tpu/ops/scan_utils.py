@@ -76,6 +76,51 @@ def inclusive_scan(combine: Callable, elems):
     return out
 
 
+def rolled_scan(combine: Callable, elems):
+    """Trace-safe inclusive scan along the last axis with ONE combine
+    instantiation in the whole graph.
+
+    For use *inside* jit/shard_map bodies, where the host-orchestrated
+    :func:`inclusive_scan` cannot run (it would inline ~2n combines and
+    blow up compile time — an 8-device EC segmented scan measured a
+    7-minute XLA CPU compile). Hillis-Steele doubling steps are driven
+    by ``lax.scan`` over the step index, so XLA sees a single combine
+    body regardless of n; the shift distance is a traced operand of
+    ``jnp.roll``. Work is n*log2(n) combines (vs ~2n), all lane-parallel
+    — the right trade inside a sharded kernel where the per-shard n is
+    already divided by the mesh size.
+
+    ``combine(left, right)`` must be associative and tolerate junk in
+    lanes that end up masked (wrapped-around roll values) — true for
+    field/EC arithmetic.
+    """
+    n = _length(elems)
+    if n == 1:
+        return elems
+    steps = (n - 1).bit_length()
+    ds = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+
+    def step(carry, d):
+        shifted = jax.tree_util.tree_map(lambda a: jnp.roll(a, d, axis=-1), carry)
+        combined = combine(shifted, carry)
+        keep = lane < d  # no left neighbor at distance d: identity
+        out = jax.tree_util.tree_map(
+            lambda c, new: jnp.where(keep, c, new), carry, combined
+        )
+        return out, None
+
+    out, _ = jax.lax.scan(step, elems, ds)
+    return out
+
+
+def rolled_reduce(combine: Callable, elems):
+    """Trace-safe reduction along the last axis (single combine
+    instantiation); returns a tree with last axis of length 1."""
+    scanned = rolled_scan(combine, elems)
+    return _slice_last(scanned, slice(-1, None))
+
+
 def reverse_scan(combine: Callable, elems):
     """Inclusive scan from the right (suffix scan)."""
     flipped = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=-1), elems)
