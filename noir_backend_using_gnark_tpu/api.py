@@ -23,7 +23,7 @@ from .errors import ProvingError
 from .plonk import prove as plonk_prove
 from .plonk import setup as plonk_setup
 from .plonk import verify as plonk_verify
-from .utils import bigint
+from .utils import bigint, metrics
 
 R = bigint.FR_MODULUS
 
@@ -69,22 +69,25 @@ class Backend:
         along (plonk/mod.rs:196; only the shape matters to gnark) — the
         lowering here needs no values at all.
         """
-        pc = lowering.lower_to_plonk(circuit)
-        srs = self._srs_for(plonk_setup.domain_size_for(pc))
-        pk, vk = plonk_setup.setup(pc, srs)
-        return artifacts.pk_to_bytes(pk), artifacts.vk_to_bytes(vk)
+        with metrics.phase("preprocess"):
+            pc = lowering.lower_to_plonk(circuit)
+            metrics.count("constraints", len(pc.q_l))
+            srs = self._srs_for(plonk_setup.domain_size_for(pc))
+            pk, vk = plonk_setup.setup(pc, srs)
+            return artifacts.pk_to_bytes(pk), artifacts.vk_to_bytes(vk)
 
     def prove_with_pk(
         self, circuit: model.Circuit, values: list, proving_key: bytes
     ) -> bytes:
         """Dense witness values (1-based order, missing = 0 —
         backend.rs:24-33) + pk blob -> proof bytes (backend.rs:85-94)."""
-        pc = lowering.lower_to_plonk(circuit)
-        pk = artifacts.pk_from_bytes(proving_key)
-        pk.srs = self._srs_for(pk.n)
-        assignment = lowering.build_assignment(pc, [v % R for v in values])
-        proof = plonk_prove.prove(pk, assignment, self.config.prover_seed)
-        return artifacts.proof_to_bytes(proof)
+        with metrics.phase("prove_with_pk"):
+            pc = lowering.lower_to_plonk(circuit)
+            pk = artifacts.pk_from_bytes(proving_key)
+            pk.srs = self._srs_for(pk.n)
+            assignment = lowering.build_assignment(pc, [v % R for v in values])
+            proof = plonk_prove.prove(pk, assignment, self.config.prover_seed)
+            return artifacts.proof_to_bytes(proof)
 
     def verify_with_vk(
         self,
@@ -102,14 +105,15 @@ class Backend:
         of exactly the public values (in witness-index order) is also
         accepted.
         """
-        pc = lowering.lower_to_plonk(circuit)
-        vk = artifacts.vk_from_bytes(verification_key)
-        publics = self._extract_publics(pc, public_inputs)
-        try:
-            p = artifacts.proof_from_bytes(proof)
-        except Exception:
-            return False
-        return plonk_verify.verify(vk, p, publics)
+        with metrics.phase("verify_with_vk"):
+            pc = lowering.lower_to_plonk(circuit)
+            vk = artifacts.vk_from_bytes(verification_key)
+            publics = self._extract_publics(pc, public_inputs)
+            try:
+                p = artifacts.proof_from_bytes(proof)
+            except Exception:
+                return False
+            return plonk_verify.verify(vk, p, publics)
 
     def prove_with_meta(self, circuit: model.Circuit, values: list) -> bytes:
         """Setup-and-prove in one call (backend.rs:58-66; the reference's

@@ -351,3 +351,211 @@ def pk_from_bytes(data: bytes, srs=None):
         )
     except (ValueError, struct.error, IndexError) as e:
         raise DeserializeKeyError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# Groth16 containers (the reference's WIP scheme, SURVEY.md §2.9 — its
+# Go externs Groth16ProveWithPK/... were never linkable; these formats
+# make the path real end-to-end)
+# ---------------------------------------------------------------------------
+
+G16_PROOF_MAGIC = b"NTG16PR1"
+G16_VK_MAGIC = b"NTG16VK1"
+G16_PK_MAGIC = b"NTG16PK1"
+
+
+def _g1_batch_points(batch) -> list:
+    """Device AffineBatch -> host affine int tuples / None."""
+    import numpy as np
+
+    from .ops import field as F
+
+    xs = F.to_ints(batch.x, F.FQ)
+    ys = F.to_ints(batch.y, F.FQ)
+    infs = np.asarray(batch.inf)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+def _pack_g1_list(points) -> bytes:
+    return struct.pack(">I", len(points)) + b"".join(g1_compress(p) for p in points)
+
+
+def _unpack_g1_list(data: bytes, off: int):
+    (count,) = struct.unpack(">I", data[off : off + 4])
+    off += 4
+    pts = []
+    for _ in range(count):
+        pts.append(g1_decompress(data[off : off + 32]))
+        off += 32
+    return pts, off
+
+
+def _pack_rows(rows) -> bytes:
+    out = [struct.pack(">I", len(rows))]
+    for row in rows:
+        out.append(struct.pack(">I", len(row)))
+        for coeff, var in row:
+            out.append(_pack_felt(coeff))
+            out.append(struct.pack(">I", var))
+    return b"".join(out)
+
+
+def _unpack_rows(data: bytes, off: int):
+    (nrows,) = struct.unpack(">I", data[off : off + 4])
+    off += 4
+    rows = []
+    for _ in range(nrows):
+        (nterms,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        row = []
+        for _ in range(nterms):
+            coeff = int.from_bytes(data[off : off + 32], "big") % R
+            (var,) = struct.unpack(">I", data[off + 32 : off + 36])
+            off += 36
+            row.append((coeff, var))
+        rows.append(row)
+    return rows, off
+
+
+def groth16_proof_to_bytes(proof) -> bytes:
+    return b"".join(
+        [G16_PROOF_MAGIC, g1_compress(proof.a), g2_bytes(proof.b), g1_compress(proof.c)]
+    )
+
+
+def groth16_proof_from_bytes(data: bytes):
+    from .groth16.groth16 import Groth16Proof
+
+    try:
+        if data[:8] != G16_PROOF_MAGIC:
+            raise ValueError("bad groth16 proof magic")
+        a = g1_decompress(data[8:40])
+        b = g2_from_bytes(data[40:168])
+        c = g1_decompress(data[168:200])
+        return Groth16Proof(a=a, b=b, c=c)
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeProofError(str(e)) from e
+
+
+def groth16_vk_to_bytes(vk) -> bytes:
+    out = [G16_VK_MAGIC, struct.pack(">I", vk.nb_public)]
+    out.append(g1_compress(vk.alpha1))
+    out.append(g2_bytes(vk.beta2))
+    out.append(g2_bytes(vk.gamma2))
+    out.append(g2_bytes(vk.delta2))
+    out.append(_pack_g1_list(vk.ic))
+    return b"".join(out)
+
+
+def groth16_vk_from_bytes(data: bytes):
+    from .groth16.groth16 import Groth16VerifyingKey
+
+    try:
+        if data[:8] != G16_VK_MAGIC:
+            raise ValueError("bad groth16 vk magic")
+        (nb_public,) = struct.unpack(">I", data[8:12])
+        off = 12
+        alpha1 = g1_decompress(data[off : off + 32])
+        off += 32
+        beta2 = g2_from_bytes(data[off : off + 128])
+        off += 128
+        gamma2 = g2_from_bytes(data[off : off + 128])
+        off += 128
+        delta2 = g2_from_bytes(data[off : off + 128])
+        off += 128
+        ic, off = _unpack_g1_list(data, off)
+        return Groth16VerifyingKey(
+            alpha1=alpha1, beta2=beta2, gamma2=gamma2, delta2=delta2,
+            ic=ic, nb_public=nb_public,
+        )
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeKeyError(str(e)) from e
+
+
+def groth16_pk_to_bytes(pk) -> bytes:
+    try:
+        r1cs = pk.r1cs
+        out = [
+            G16_PK_MAGIC,
+            struct.pack(">QII", pk.n, r1cs.num_vars, r1cs.nb_public),
+        ]
+        out.append(_pack_rows(r1cs.a_rows))
+        out.append(_pack_rows(r1cs.b_rows))
+        out.append(_pack_rows(r1cs.c_rows))
+        items = sorted(r1cs.index_map.items())
+        out.append(struct.pack(">I", len(items)))
+        out.extend(struct.pack(">II", w, i) for w, i in items)
+        out.append(struct.pack(">I", len(r1cs.public_witness_indices)))
+        out.extend(struct.pack(">I", w) for w in r1cs.public_witness_indices)
+        for q in (pk.a_query, pk.b1_query, pk.l_query, pk.h_query):
+            out.append(_pack_g1_list(_g1_batch_points(q)))
+        out.append(struct.pack(">I", len(pk.b2_query)))
+        out.extend(g2_bytes(q) for q in pk.b2_query)
+        out.append(g1_compress(pk.alpha1))
+        out.append(g1_compress(pk.beta1))
+        out.append(g1_compress(pk.delta1))
+        out.append(g2_bytes(pk.beta2))
+        out.append(g2_bytes(pk.delta2))
+        out.append(groth16_vk_to_bytes(pk.vk))
+        return b"".join(out)
+    except Exception as e:  # noqa: BLE001 — mapped to the reference's error class
+        raise SerializeKeysError(str(e)) from e
+
+
+def groth16_pk_from_bytes(data: bytes):
+    from .groth16.groth16 import Groth16ProvingKey, R1CS
+    from .ops import msm as M
+
+    try:
+        if data[:8] != G16_PK_MAGIC:
+            raise ValueError("bad groth16 pk magic")
+        n, num_vars, nb_public = struct.unpack(">QII", data[8:24])
+        off = 24
+        a_rows, off = _unpack_rows(data, off)
+        b_rows, off = _unpack_rows(data, off)
+        c_rows, off = _unpack_rows(data, off)
+        (nmap,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        index_map = {}
+        for _ in range(nmap):
+            w, i = struct.unpack(">II", data[off : off + 8])
+            off += 8
+            index_map[w] = i
+        (npub_w,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        pub_wits = []
+        for _ in range(npub_w):
+            (w,) = struct.unpack(">I", data[off : off + 4])
+            off += 4
+            pub_wits.append(w)
+        queries = []
+        for _ in range(4):
+            pts, off = _unpack_g1_list(data, off)
+            queries.append(M.affine_from_ints(pts))
+        (nb2,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        b2_query = []
+        for _ in range(nb2):
+            b2_query.append(g2_from_bytes(data[off : off + 128]))
+            off += 128
+        alpha1 = g1_decompress(data[off : off + 32]); off += 32
+        beta1 = g1_decompress(data[off : off + 32]); off += 32
+        delta1 = g1_decompress(data[off : off + 32]); off += 32
+        beta2 = g2_from_bytes(data[off : off + 128]); off += 128
+        delta2 = g2_from_bytes(data[off : off + 128]); off += 128
+        vk = groth16_vk_from_bytes(data[off:])
+        r1cs = R1CS(
+            num_vars=num_vars, nb_public=nb_public,
+            a_rows=a_rows, b_rows=b_rows, c_rows=c_rows,
+            index_map=index_map, public_witness_indices=pub_wits,
+        )
+        return Groth16ProvingKey(
+            r1cs=r1cs, n=n,
+            a_query=queries[0], b1_query=queries[1],
+            l_query=queries[2], h_query=queries[3],
+            b2_query=b2_query,
+            alpha1=alpha1, beta1=beta1, delta1=delta1,
+            beta2=beta2, delta2=delta2, vk=vk,
+        )
+    except (ValueError, struct.error, IndexError) as e:
+        raise DeserializeKeyError(str(e)) from e

@@ -30,7 +30,7 @@ from ..ops import msm as M
 from ..ops import ntt as N
 from ..ops import poly as P
 from ..ops import scan_utils
-from ..utils import bigint
+from ..utils import bigint, metrics
 from .keys import Proof, ProvingKey, ZETA_OPENING_LABELS
 from .setup import K1, K2
 from .transcript import Transcript
@@ -87,6 +87,13 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
     (None = os.urandom — fresh randomness per proof, like gnark's
     randomized prover; BASELINE.md bit-exactness caveat).
     """
+    with metrics.phase("plonk.prove"), metrics.profiler_trace("prove"):
+        metrics.count("prove.calls")
+        metrics.count("prove.domain_n", pk.n)
+        return _prove_impl(pk, assignment_ints, rng_seed)
+
+
+def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -> Proof:
     n = pk.n
     domain = N.Domain.get(n)
     big_n = 4 * n
@@ -121,13 +128,14 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
     wb_e = _gather_wires(assignment, pk.wire_b)
     wc_e = _gather_wires(assignment, pk.wire_c)
 
-    a_c = _blind(N.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
-    b_c = _blind(N.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
-    c_c = _blind(N.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
+    with metrics.phase("round1.wires"):
+        a_c = _blind(N.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
+        b_c = _blind(N.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
+        c_c = _blind(N.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
 
-    com_a = kzg.commit_ints(pk.srs, a_c)
-    com_b = kzg.commit_ints(pk.srs, b_c)
-    com_c = kzg.commit_ints(pk.srs, c_c)
+        com_a = kzg.commit_ints(pk.srs, a_c)
+        com_b = kzg.commit_ints(pk.srs, b_c)
+        com_c = kzg.commit_ints(pk.srs, c_c)
 
     ts = Transcript("noirtpu-plonk-v1")
     ts.absorb(b"n", pk.n.to_bytes(8, "big"))
@@ -150,21 +158,24 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
 
     k1_d = F.from_ints([K1], FR)
     k2_d = F.from_ints([K2], FR)
-    num = _mul_combine(
-        _mul_combine(lin(wa_e, xs), lin(wb_e, P.scale_poly(xs, k1_d))),
-        lin(wc_e, P.scale_poly(xs, k2_d)),
-    )
-    den = _mul_combine(
-        _mul_combine(lin(wa_e, pk.s1_evals), lin(wb_e, pk.s2_evals)),
-        lin(wc_e, pk.s3_evals),
-    )
-    ratio = _mul_combine(num, F.batch_inv(den, FR))
-    prefix = scan_utils.inclusive_scan(_mul_combine, ratio)
-    one = F.one_mont(FR, (1,))
-    z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
+    with metrics.phase("round2.grand_product"):
+        num = _mul_combine(
+            _mul_combine(lin(wa_e, xs), lin(wb_e, P.scale_poly(xs, k1_d))),
+            lin(wc_e, P.scale_poly(xs, k2_d)),
+        )
+        den = _mul_combine(
+            _mul_combine(lin(wa_e, pk.s1_evals), lin(wb_e, pk.s2_evals)),
+            lin(wc_e, pk.s3_evals),
+        )
+        ratio = _mul_combine(num, F.batch_inv(den, FR))
+        prefix = scan_utils.inclusive_scan(_mul_combine, ratio)
+        one = F.one_mont(FR, (1,))
+        z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
 
-    z_c = _blind(N.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()])
-    com_z = kzg.commit_ints(pk.srs, z_c)
+        z_c = _blind(
+            N.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
+        )
+        com_z = kzg.commit_ints(pk.srs, z_c)
     ts.absorb_point(b"z", com_z)
     alpha = ts.challenge(b"alpha")
 
@@ -249,9 +260,10 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
     t0_c = t_c[:, :chunk]
     t1_c = t_c[:, chunk : 2 * chunk]
     t2_c = t_c[:, 2 * chunk : 3 * chunk]
-    com_t0 = kzg.commit_ints(pk.srs, t0_c)
-    com_t1 = kzg.commit_ints(pk.srs, t1_c)
-    com_t2 = kzg.commit_ints(pk.srs, t2_c)
+    with metrics.phase("round3.quotient"):
+        com_t0 = kzg.commit_ints(pk.srs, t0_c)
+        com_t1 = kzg.commit_ints(pk.srs, t1_c)
+        com_t2 = kzg.commit_ints(pk.srs, t2_c)
     ts.absorb_point(b"t0", com_t0)
     ts.absorb_point(b"t1", com_t1)
     ts.absorb_point(b"t2", com_t2)
@@ -279,8 +291,9 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
         "t2": t2_c,
     }
     polys = [opened[k] for k in ZETA_OPENING_LABELS]
-    evals = [F.to_ints(P.eval_at(p, zeta_d), FR)[0] for p in polys]
-    z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
+    with metrics.phase("round4.evals"):
+        evals = [F.to_ints(P.eval_at(p, zeta_d), FR)[0] for p in polys]
+        z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
 
     for label, v in zip(ZETA_OPENING_LABELS, evals):
         ts.absorb_felt(label.encode(), v)
@@ -288,9 +301,10 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
     nu = ts.challenge(b"nu")
 
     # ---- Round 5: opening proofs --------------------------------------
-    w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu)
-    q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
-    w_zeta_omega = kzg.commit_ints(pk.srs, q_zw)
+    with metrics.phase("round5.open"):
+        w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu)
+        q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
+        w_zeta_omega = kzg.commit_ints(pk.srs, q_zw)
 
     return Proof(
         a=com_a,
