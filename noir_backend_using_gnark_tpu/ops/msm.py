@@ -2,24 +2,33 @@
 
 Replaces gnark-crypto's ``MultiExp`` (the G1 MSMs inside KZG commit /
 open and the PLONK prover — the dominant cost of ``plonk.Prove``,
-SURVEY.md §3.1) with a TPU-friendly bucket method:
+SURVEY.md §3.1 hot path (b)) with a TPU-native bucket method that runs
+as ONE compiled kernel per problem shape:
 
-  * window decomposition: 16-bit-limb scalars are cut into ``c``-bit
-    digits (``c`` chosen from the problem size);
-  * bucket accumulation SIMD-style: per window, points are *sorted* by
-    digit, then per-bucket sums are obtained with a work-efficient
-    *segmented* scan over the complete Jacobian group law — ~2N EC adds
-    at O(log N) depth, no scatter conflicts. The scan is orchestrated
-    from Python (ops/scan_utils.py) so each compiled kernel holds ONE
-    group-law instantiation — XLA compile time stays linear;
-  * bucket reduction: sum_b b*S_b = sum_j (suffix sums) via a suffix
-    scan + pairwise tree reduction, batched over all windows at once;
-  * window join: Horner over windows (c doublings + 1 add per window).
+  * **signed-digit windows**: scalars are recoded into W = ceil(254/c)
+    signed c-bit digits (magnitude <= 2^{c-1}), halving the bucket
+    table vs unsigned digits; negative digits negate the point's y
+    lane-wise (free);
+  * **lane-private bucket accumulation**: each window gets L parallel
+    lanes, each owning a private bucket table row. A ``lax.scan`` over
+    T = N/L steps adds one affine point per lane per step into
+    ``buckets[w, l, digit]`` — a gather + one mixed add + a scatter
+    with *unique* per-lane indices, so there are no write conflicts and
+    no sorting. Work: exactly W*N mixed adds (work-efficient, same as a
+    CPU Pippenger's accumulation phase);
+  * **lane fold**: pairwise tree-fold of the L lane tables
+    (W*L*B complete adds, log2(L) levels);
+  * **weighted bucket reduction**: T_w = sum_b b*S_b via two suffix
+    scans (Hillis-Steele with ``jnp.roll``; one group-law instantiation
+    each);
+  * **window join**: Horner over windows (c doublings + 1 add per
+    window, ``lax.scan``).
 
-Sorting + gathers are native XLA ops; every EC add is lane-parallel over
-the limb field layer. The sharded multi-chip variant partitions points
-across devices and reduces per-window partial buckets with collectives
-(``parallel/dist_msm.py``).
+Everything above is a single jit per (N, c, L): one device dispatch per
+MSM, no host round-trips (round 1's sort + host-orchestrated segmented
+scan cost hundreds of relay round-trips per MSM). The sharded
+multi-chip variant partitions points across devices and folds the
+per-device bucket tables with an all_gather (``parallel/dist_msm.py``).
 """
 
 from __future__ import annotations
@@ -33,10 +42,12 @@ import numpy as np
 
 from . import curve as C
 from . import field as F
-from . import scan_utils
 
 FR = F.FR
 FQ = F.FQ
+
+#: Scalar bit-width for BN254 Fr (r < 2^254).
+SCALAR_BITS = 254
 
 
 class AffineBatch(NamedTuple):
@@ -57,25 +68,20 @@ def affine_from_ints(points) -> AffineBatch:
     return AffineBatch(jac.x, jac.y, F.is_zero(jac.z))
 
 
-@jax.jit
-def _affine_to_jacobian(p: AffineBatch) -> C.JacobianPoint:
-    one = F.one_mont(FQ, p.inf.shape)
-    z = F.select(p.inf, F.zeros(p.inf.shape), one)
-    return C.JacobianPoint(p.x, p.y, z)
-
-
 def default_window_bits(n: int) -> int:
-    """Window size heuristic: balance W*2N scan adds vs W*2^c bucket adds."""
-    if n >= (1 << 18):
-        return 16
-    if n >= (1 << 12):
-        return 12
-    if n >= (1 << 8):
+    """Window size heuristic.
+
+    c=8 keeps the bucket tables small enough that the lane-fold phase
+    (W*L*B adds) stays well under the accumulation phase (W*N adds)
+    across the whole 2^10..2^24 range; larger c would shrink W but blow
+    up lane-private bucket memory (W * L * 2^{c-1} points).
+    """
+    if n >= (1 << 10):
         return 8
     return 4
 
 
-def num_windows(c: int, nbits: int = 254) -> int:
+def num_windows(c: int, nbits: int = SCALAR_BITS) -> int:
     return -(-nbits // c)
 
 
@@ -98,94 +104,179 @@ def extract_digits(scalars: jax.Array, c: int, num_w: int) -> jax.Array:
     return jnp.stack(out, axis=0)
 
 
-# ---------------------------------------------------------------------------
-# Segmented bucket accumulation (one window)
-# ---------------------------------------------------------------------------
+def signed_digits(scalars: jax.Array, c: int, num_w: int):
+    """Signed-window recoding: returns (magnitudes, negative) both (W, N).
 
-
-@jax.jit
-def _seg_combine(left, right):
-    """Segmented-scan monoid over (point, start-flag) pairs.
-
-    Flags are uint32 with the same trailing axis as the point batch.
+    digit in (2^{c-1}, 2^c) becomes digit - 2^c with a +1 carry into the
+    next window; magnitudes are <= 2^{c-1}. Valid whenever the scalar
+    fits in num_w*c - 1 bits (true for Fr < 2^254 with c*W >= 255), so
+    the final carry never overflows the top window.
     """
-    pl, fl = left
-    pr, fr = right
-    p = C.select_point(fr != 0, pr, C.add(pl, pr))
-    return (p, fl | fr)
+    digits = extract_digits(scalars, c, num_w)  # (W, N) uint32
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    carry = jnp.zeros(digits.shape[1:], jnp.uint32)
+    mags, negs = [], []
+    for w in range(num_w):
+        t = digits[w] + carry
+        neg = t > half
+        mags.append(jnp.where(neg, full - t, t))
+        negs.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(mags, axis=0), jnp.stack(negs, axis=0)
 
 
-@jax.jit
-def _sort_window(px, py, pinf, digits):
-    order = jnp.argsort(digits)
-    d = jnp.take(digits, order)
-    points = _affine_to_jacobian(
-        AffineBatch(jnp.take(px, order, axis=1), jnp.take(py, order, axis=1), jnp.take(pinf, order))
-    )
-    prev = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), d[:-1]])
-    starts = (d != prev).astype(jnp.uint32)
-    nxt = jnp.concatenate([d[1:], jnp.full((1,), 0xFFFFFFFF, jnp.uint32)])
-    ends = d != nxt
-    return points, d, starts, ends
+def _lanes_for(n: int, c: int, mem_budget: int = 1 << 29) -> int:
+    """Lanes per window: enough steps to amortize, bounded by the
+    bucket-table memory budget (bytes) and by fold work W*L*B << W*N."""
+    nbuckets = (1 << (c - 1)) + 1
+    w = num_windows(c)
+    by_mem = mem_budget // (192 * w * nbuckets)  # 3 coords * 16 limbs * 4 B
+    by_work = max(1, n // 256)
+    lanes = max(1, min(by_mem, by_work, n))
+    return 1 << (lanes.bit_length() - 1)  # power of two, rounded down
 
 
-@functools.partial(jax.jit, static_argnames=("nbuckets",))
-def _scatter_buckets(scanned: C.JacobianPoint, d, ends, nbuckets: int):
-    """Write per-segment totals (at segment-end lanes) into the bucket
-    table; non-end lanes aim at a dump slot. Indices are unique."""
-    idx = jnp.where(ends, d, nbuckets).astype(jnp.int32)
-    buckets = C.infinity((nbuckets + 1,))
-    buckets = C.JacobianPoint(
-        buckets.x.at[:, idx].set(scanned.x),
-        buckets.y.at[:, idx].set(scanned.y),
-        buckets.z.at[:, idx].set(scanned.z),
-    )
-    return C.JacobianPoint(
-        buckets.x[:, :nbuckets], buckets.y[:, :nbuckets], buckets.z[:, :nbuckets]
-    )
+# ---------------------------------------------------------------------------
+# The megakernel
+# ---------------------------------------------------------------------------
 
 
-def _window_buckets(px, py, pinf, digits, c: int) -> C.JacobianPoint:
-    """Per-bucket sums S_b for one window: JacobianPoint batch (2^c,)."""
-    points, d, starts, ends = _sort_window(px, py, pinf, digits)
-    scanned, _ = scan_utils.inclusive_scan(_seg_combine, (points, starts))
-    return _scatter_buckets(scanned, d, ends, 1 << c)
+def _suffix_scan_points(p: C.JacobianPoint) -> C.JacobianPoint:
+    """Inclusive suffix scan (sum of elements to the right, self
+    included) along the last batch axis, ONE group-law instantiation.
 
-
-@jax.jit
-def _add_combine(left, right):
-    return C.add(left, right)
-
-
-def _reduce_windows(buckets: C.JacobianPoint) -> C.JacobianPoint:
-    """Bucket reduction for all windows at once.
-
-    Input: bucket sums, batch (W, B). Output: window totals, batch (W,),
-    using T_w = sum_{j>=1} suffix_j with suffix_j = sum_{b>=j} S_b.
+    Hillis-Steele doubling with a traced roll distance driven by
+    ``lax.scan``; wrapped lanes keep their running value.
     """
-    suffix = scan_utils.reverse_scan(_add_combine, buckets)
-    tail = jax.tree_util.tree_map(lambda a: a[..., 1:], suffix)  # drop bucket 0
-    total = scan_utils.tree_reduce(_add_combine, tail)
-    return jax.tree_util.tree_map(lambda a: a[..., 0], total)
+    n = p.x.shape[-1]
+    if n == 1:
+        return p
+    steps = (n - 1).bit_length()
+    ds = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+
+    def step(cur, d):
+        rolled = jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=-1), cur)
+        combined = C.add(cur, rolled)
+        keep = lane >= (n - d)  # no right neighbor at distance d
+        out = C.select_point(keep, cur, combined)
+        return out, None
+
+    out, _ = jax.lax.scan(step, p, ds)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def _join_windows(tx, ty, tz, c: int):
-    """Horner join: total = sum_w 2^{c w} T_w, highest window first."""
-    stacked = C.JacobianPoint(tx, ty, tz)  # batch (W,)
-    w_count = tx.shape[1]
+def _weighted_bucket_reduce(buckets: C.JacobianPoint) -> C.JacobianPoint:
+    """T_w = sum_{b>=1} b * S_b for bucket tables with batch (..., B).
+
+    Two suffix scans: U = suffix(S) gives U_j = sum_{b>=j} S_b, and
+    sum_{j>=1} U_j is element 1 of suffix(U).
+    """
+    u = _suffix_scan_points(buckets)
+    v = _suffix_scan_points(u)
+    return jax.tree_util.tree_map(lambda a: a[..., 1], v)
+
+
+def _join_windows(totals: C.JacobianPoint, c: int) -> C.JacobianPoint:
+    """Horner join: sum_w 2^{c w} T_w, highest window first; totals
+    batch shape (W,)."""
+    w_count = totals.x.shape[1]
 
     def body(acc, i):
         acc = jax.lax.fori_loop(0, c, lambda _, p: C.double(p), acc)
         t_i = jax.tree_util.tree_map(
             lambda a: jax.lax.dynamic_index_in_dim(a, w_count - 1 - i, axis=1, keepdims=False),
-            stacked,
+            totals,
         )
         return C.add(acc, t_i), None
 
-    init = C.infinity(())
-    out, _ = jax.lax.scan(body, init, jnp.arange(w_count))
+    out, _ = jax.lax.scan(body, C.infinity(()), jnp.arange(w_count))
     return out
+
+
+def accumulate_buckets(
+    px: jax.Array,
+    py: jax.Array,
+    pinf: jax.Array,
+    scalars: jax.Array,
+    c: int,
+    lanes: int,
+) -> C.JacobianPoint:
+    """Bucket accumulation + lane fold (traced; call under jit).
+
+    Returns the per-window bucket tables S as a JacobianPoint with
+    batch shape (W, B), B = 2^{c-1}+1. N must be divisible by ``lanes``.
+    Shared by the single-chip kernel and the shard_map body in
+    parallel/dist_msm.py (which folds tables across devices before the
+    reduction).
+    """
+    n = px.shape[-1]
+    w_count = num_windows(c)
+    nb = (1 << (c - 1)) + 1
+    t_steps = n // lanes
+
+    mags, negs = signed_digits(scalars, c, w_count)  # (W, N)
+
+    # Scan-major layouts: step t owns point slice [t*L, (t+1)*L).
+    pxr = jnp.moveaxis(px.reshape(16, t_steps, lanes), 1, 0)  # (T, 16, L)
+    pyr = jnp.moveaxis(py.reshape(16, t_steps, lanes), 1, 0)
+    pinfr = pinf.reshape(t_steps, lanes)
+    magr = jnp.moveaxis(mags.reshape(w_count, t_steps, lanes), 1, 0)  # (T, W, L)
+    negr = jnp.moveaxis(negs.reshape(w_count, t_steps, lanes), 1, 0)
+
+    buckets = C.infinity((w_count, lanes, nb))
+    ww = jax.lax.broadcasted_iota(jnp.int32, (w_count, lanes), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (w_count, lanes), 1)
+
+    def step(bk, xs):
+        px_t, py_t, pinf_t, mag_t, neg_t = xs
+        d = mag_t.astype(jnp.int32)  # (W, L), unique per (w, l) row
+        cur = C.JacobianPoint(
+            bk.x[:, ww, ll, d], bk.y[:, ww, ll, d], bk.z[:, ww, ll, d]
+        )  # (16, W, L)
+        qx = jnp.broadcast_to(px_t[:, None, :], (16, w_count, lanes))
+        qy = jnp.broadcast_to(py_t[:, None, :], (16, w_count, lanes))
+        qy = F.select(neg_t, F.neg(qy, FQ), qy)
+        qinf = jnp.broadcast_to(pinf_t[None, :], (w_count, lanes)) | (mag_t == 0)
+        new = C.add_mixed(cur, qx, qy, qinf)
+        return (
+            C.JacobianPoint(
+                bk.x.at[:, ww, ll, d].set(new.x, unique_indices=True),
+                bk.y.at[:, ww, ll, d].set(new.y, unique_indices=True),
+                bk.z.at[:, ww, ll, d].set(new.z, unique_indices=True),
+            ),
+            None,
+        )
+
+    buckets, _ = jax.lax.scan(step, buckets, (pxr, pyr, pinfr, magr, negr))
+
+    # Lane fold: (16, W, L, B) -> (16, W, B); log2(L) complete-add levels.
+    l = lanes
+    while l > 1:
+        half = l // 2
+        top = jax.tree_util.tree_map(lambda a: a[:, :, :half], buckets)
+        bot = jax.tree_util.tree_map(lambda a: a[:, :, half : 2 * half], buckets)
+        buckets = C.add(top, bot)
+        l = half
+    return jax.tree_util.tree_map(lambda a: a[:, :, 0], buckets)  # (16, W, B)
+
+
+def msm_kernel(
+    px: jax.Array,
+    py: jax.Array,
+    pinf: jax.Array,
+    scalars: jax.Array,
+    c: int,
+    lanes: int,
+) -> C.JacobianPoint:
+    """Traced single-chip MSM body (call under jit)."""
+    buckets = accumulate_buckets(px, py, pinf, scalars, c, lanes)
+    totals = _weighted_bucket_reduce(buckets)  # batch (W,)
+    return _join_windows(totals, c)
+
+
+_msm_jit = jax.jit(msm_kernel, static_argnames=("c", "lanes"))
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +285,7 @@ def _join_windows(tx, ty, tz, c: int):
 
 
 def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.JacobianPoint:
-    """sum_i scalars[i] * points[i].
+    """sum_i scalars[i] * points[i] — ONE device dispatch.
 
     points: AffineBatch of N points; scalars: canonical-form limbs
     (16, N). Returns a single Jacobian point (batch shape ()).
@@ -203,19 +294,15 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     if scalars.shape[-1] != n:
         raise ValueError("points/scalars length mismatch")
     c = c or default_window_bits(n)
-    w_count = num_windows(c)
-    digits = extract_digits(scalars, c, w_count)  # (W, N)
-
-    bucket_list = [
-        _window_buckets(points.x, points.y, points.inf, digits[w], c)
-        for w in range(w_count)
-    ]
-    buckets = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs, axis=1), *bucket_list
-    )  # batch (W, B)
-
-    totals = _reduce_windows(buckets)  # batch (W,)
-    return _join_windows(totals.x, totals.y, totals.z, c)
+    lanes = _lanes_for(n, c)
+    pad = (-n) % lanes
+    px, py, pinf = points.x, points.y, points.inf
+    if pad:
+        px = jnp.pad(px, ((0, 0), (0, pad)))
+        py = jnp.pad(py, ((0, 0), (0, pad)))
+        pinf = jnp.pad(pinf, ((0, pad)), constant_values=True)
+        scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+    return _msm_jit(px, py, pinf, scalars, c, lanes)
 
 
 def msm_ints(points, scalars, c: int | None = None):

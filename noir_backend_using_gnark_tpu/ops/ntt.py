@@ -2,19 +2,27 @@
 
 Replaces gnark-crypto's ``fft.Domain`` (the FFTs inside gnark's
 ``plonk.Prove`` — SURVEY.md §3.1 hot path (b)) with a vectorized
-iterative Cooley-Tukey transform over the limb field layer:
+iterative Cooley-Tukey transform over the limb field layer.
 
-  * decimation-in-time with a host-precomputed bit-reversal permutation,
-  * per-stage butterflies are whole-array ops: one batched ``mont_mul``
-    (n/2 lanes) + one ``add`` + one ``sub`` per stage — k stages total,
-  * twiddle factors come from a device-computed geometric power table
-    (associative scan — O(n) multiplies at O(log n) depth), sliced per
-    stage with static gather indices,
-  * coset transforms scale by powers of the coset shift on the way in/out.
+Design (TPU-first):
+
+  * The WHOLE transform is one jitted kernel per size: all log2(n)
+    butterfly stages unroll at trace time into a single fused XLA
+    computation. Round 1 drove the stages from Python — through the
+    TPU relay that cost one host round-trip + twiddle re-gather per
+    stage (measured 129 ms for a 2^18 transform whose math is ~2 ms);
+    the fused kernel is one dispatch.
+  * Twiddles come from ONE device-resident power table per domain;
+    each stage takes a *static strided slice* of it (no gathers, no
+    host index transfers).
+  * Transforms are batched: input (16, ..., n) transforms along the
+    last axis, so the prover can run many same-size NTTs in one call.
+  * Coset transforms scale by powers of the coset shift on the way
+    in/out.
 
 All domain metadata is host-side and static; nothing data-dependent is
 traced. The multi-chip (sharded) variant lives in
-``parallel/dist_ntt.py`` and reuses these local stages.
+``parallel/dist_ntt.py`` and reuses :func:`ntt_stages`.
 """
 
 from __future__ import annotations
@@ -44,6 +52,8 @@ def powers_of(base: jax.Array, n: int, spec: F.FieldSpec) -> jax.Array:
     bigint pows, which would dominate setup for 2^20+ domains.
     """
     one = F.one_mont(spec, (1,))
+    if n == 1:
+        return one
     seq = jnp.concatenate([one, jnp.broadcast_to(base.reshape(16, 1), (16, n - 1))], axis=1)
     return jax.lax.associative_scan(functools.partial(F.mont_mul, spec=spec), seq, axis=1)
 
@@ -61,9 +71,9 @@ def bit_reverse_perm(n: int) -> np.ndarray:
 class Domain:
     """Radix-2 evaluation domain of size n = 2^k over Fr.
 
-    Caches the root-of-unity power table and bit-reversal permutation.
-    Mirrors the role of gnark's ``fft.NewDomain`` used by plonk.Setup /
-    Prove (reference L0).
+    Caches the root-of-unity power table (device) and bit-reversal
+    permutation (host + device). Mirrors the role of gnark's
+    ``fft.NewDomain`` used by plonk.Setup / Prove (reference L0).
     """
 
     _cache: dict = {}
@@ -81,14 +91,21 @@ class Domain:
         self.w_inv_int = pow(self.w_int, -1, spec.modulus)
         self.n_inv_int = pow(n, -1, spec.modulus)
         self.rev = bit_reverse_perm(n)
+        self._rev_dev = None
         self._fwd_table = None
         self._inv_table = None
+        self._n_inv_dev = None
 
     @classmethod
     def get(cls, n: int) -> "Domain":
         if n not in cls._cache:
             cls._cache[n] = cls(n)
         return cls._cache[n]
+
+    def rev_dev(self) -> jax.Array:
+        if self._rev_dev is None:
+            self._rev_dev = jnp.asarray(self.rev)
+        return self._rev_dev
 
     def fwd_table(self) -> jax.Array:
         # ensure_compile_time_eval: the lazy fill may first be hit inside
@@ -107,62 +124,83 @@ class Domain:
                 self._inv_table = powers_of(base, max(self.n // 2, 1), self.spec)
         return self._inv_table
 
+    def n_inv_dev(self) -> jax.Array:
+        if self._n_inv_dev is None:
+            self._n_inv_dev = F.from_ints([self.n_inv_int], FR)
+        return self._n_inv_dev
+
 
 # ---------------------------------------------------------------------------
 # Core transform
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("half",))
-def _ntt_stage(a: jax.Array, tw: jax.Array, half: int) -> jax.Array:
-    """One DIT butterfly stage. a: (16, n) working array; tw: (16, half).
+def ntt_stages(a: jax.Array, table: jax.Array, rev) -> jax.Array:
+    """All DIT butterfly stages, traced inline (call under jit).
 
-    One compiled kernel per (n, half) pair — the transform is driven
-    stage-by-stage from Python so each XLA graph holds a single
-    ``mont_mul`` (see ops/scan_utils.py for why).
+    ``a``: (16, ..., n) working array, transform along the last axis;
+    ``table``: (16, n/2) twiddle power table ([w^0 .. w^{n/2-1}]);
+    ``rev``: (n,) bit-reversal indices (host np or device array).
+
+    Shared by the single-chip fused kernel and the shard_map bodies in
+    parallel/dist_ntt.py (where it must be part of one traced
+    computation crossing collective boundaries).
     """
-    n = a.shape[1]
-    m = 2 * half
-    a = a.reshape(16, n // m, m)
-    u = a[:, :, :half]
-    v = F.mont_mul(a[:, :, half:], tw[:, None, :], FR)
-    out = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=2)
-    return out.reshape(16, n)
+    n = a.shape[-1]
+    k = n.bit_length() - 1
+    a = jnp.take(a, rev, axis=-1)
+    for s in range(1, k + 1):
+        half = 1 << (s - 1)
+        m = 2 * half
+        stride = (n // m) if m < n else 1
+        tw = table[:, ::stride][:, :half]  # (16, half), static slice
+        shape = a.shape
+        a = a.reshape(shape[:-1] + (n // m, m))
+        u = a[..., :half]
+        tw_b = tw.reshape((16,) + (1,) * (a.ndim - 2) + (half,))
+        v = F.mont_mul(a[..., half:], tw_b, FR)
+        a = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=-1)
+        a = a.reshape(shape)
+    return a
+
+
+@jax.jit
+def _fused_transform(a: jax.Array, table: jax.Array, rev: jax.Array) -> jax.Array:
+    return ntt_stages(a, table, rev)
+
+
+@jax.jit
+def _fused_transform_scaled(
+    a: jax.Array, table: jax.Array, rev: jax.Array, scale: jax.Array
+) -> jax.Array:
+    """Transform followed by a broadcast scalar multiply (INTT 1/n)."""
+    out = ntt_stages(a, table, rev)
+    return F.mont_mul(out, jnp.broadcast_to(scale.reshape((16,) + (1,) * (out.ndim - 1)), out.shape), FR)
 
 
 @jax.jit
 def _scale(a: jax.Array, s: jax.Array) -> jax.Array:
-    """Elementwise multiply by a broadcast scalar or vector of Fr."""
-    return F.mont_mul(a, jnp.broadcast_to(s.reshape(16, -1), a.shape), FR)
-
-
-def _transform(a: jax.Array, domain: Domain, table: jax.Array) -> jax.Array:
-    a = jnp.take(a, jnp.asarray(domain.rev), axis=1)
-    n = domain.n
-    for s in range(1, domain.k + 1):
-        half = 1 << (s - 1)
-        stride = n // (2 * half)
-        idx = (np.arange(half) * stride).astype(np.int32)
-        tw = jnp.take(table, jnp.asarray(idx), axis=1)  # (16, half)
-        a = _ntt_stage(a, tw, half)
-    return a
+    """Elementwise multiply by a broadcast scalar of Fr."""
+    return F.mont_mul(a, jnp.broadcast_to(s.reshape((16,) + (1,) * (a.ndim - 1)), a.shape), FR)
 
 
 def ntt(a: jax.Array, domain: Domain | None = None) -> jax.Array:
     """Forward NTT: coefficients -> evaluations on the subgroup.
 
-    ``a``: (16, n) Montgomery-form Fr. Natural order in, natural order out.
+    ``a``: (16, ..., n) Montgomery-form Fr, transform along the last
+    axis (extra axes are a batch of independent polynomials). Natural
+    order in, natural order out. ONE device dispatch.
     """
-    domain = domain or Domain.get(a.shape[1])
-    return _transform(a, domain, domain.fwd_table())
+    domain = domain or Domain.get(a.shape[-1])
+    return _fused_transform(a, domain.fwd_table(), domain.rev_dev())
 
 
 def intt(a: jax.Array, domain: Domain | None = None) -> jax.Array:
-    """Inverse NTT: evaluations -> coefficients."""
-    domain = domain or Domain.get(a.shape[1])
-    out = _transform(a, domain, domain.inv_table())
-    n_inv = F.from_ints([domain.n_inv_int], FR)
-    return _scale(out, n_inv)
+    """Inverse NTT: evaluations -> coefficients. ONE device dispatch."""
+    domain = domain or Domain.get(a.shape[-1])
+    return _fused_transform_scaled(
+        a, domain.inv_table(), domain.rev_dev(), domain.n_inv_dev()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -170,24 +208,39 @@ def intt(a: jax.Array, domain: Domain | None = None) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+class _CosetScale:
+    """Cache of [g^0..g^{n-1}] coset scale vectors per (shift, n, inverse)."""
+
+    _cache: dict = {}
+
+    @classmethod
+    def get(cls, shift_int: int, n: int, inverse: bool) -> jax.Array:
+        key = (shift_int, n, inverse)
+        if key not in cls._cache:
+            base_int = pow(shift_int, -1, FR.modulus) if inverse else shift_int
+            with jax.ensure_compile_time_eval():
+                cls._cache[key] = powers_of(F.from_ints([base_int], FR), n, FR)
+        return cls._cache[key]
+
+
 def coset_ntt(a: jax.Array, shift_int: int, domain: Domain | None = None) -> jax.Array:
     """Evaluate the polynomial on the coset g*H: scale coeff i by g^i, NTT."""
-    n = a.shape[1]
+    n = a.shape[-1]
     domain = domain or Domain.get(n)
-    g = F.from_ints([shift_int], FR)
-    scale = powers_of(g, n, FR)
+    scale = _CosetScale.get(shift_int, n, False)
     return ntt(_scale_vec(a, scale), domain)
 
 
 def coset_intt(a: jax.Array, shift_int: int, domain: Domain | None = None) -> jax.Array:
     """Inverse of :func:`coset_ntt`."""
-    n = a.shape[1]
+    n = a.shape[-1]
     domain = domain or Domain.get(n)
-    ginv = F.from_ints([pow(shift_int, -1, FR.modulus)], FR)
-    scale = powers_of(ginv, n, FR)
+    scale = _CosetScale.get(shift_int, n, True)
     return _scale_vec(intt(a, domain), scale)
 
 
 @jax.jit
 def _scale_vec(a: jax.Array, scale: jax.Array) -> jax.Array:
-    return F.mont_mul(a, scale, FR)
+    """Multiply along the last axis by a (16, n) vector (broadcast over
+    any batch axes)."""
+    return F.mont_mul(a, scale.reshape((16,) + (1,) * (a.ndim - 2) + (scale.shape[-1],)), FR)

@@ -41,27 +41,10 @@ R = bigint.FR_MODULUS
 def _inline_ntt_last(a: jax.Array, table: jax.Array, rev: np.ndarray) -> jax.Array:
     """Traced (inline) NTT along the last axis; a: (16, ..., n).
 
-    Used inside shard_map bodies where the transform must be part of a
-    single traced computation (the host-driven per-stage variant in
-    ops/ntt.py cannot cross a shard_map boundary).
+    Thin alias of :func:`ops.ntt.ntt_stages` — shard_map bodies need the
+    transform to be part of a single traced computation.
     """
-    n = a.shape[-1]
-    k = n.bit_length() - 1
-    a = jnp.take(a, jnp.asarray(rev), axis=-1)
-    for s in range(1, k + 1):
-        m = 1 << s
-        half = m >> 1
-        stride = n // m
-        idx = (np.arange(half) * stride).astype(np.int32)
-        tw = jnp.take(table, jnp.asarray(idx), axis=1)  # (16, half)
-        shape = a.shape
-        a = a.reshape(shape[:-1] + (n // m, m))
-        u = a[..., :half]
-        tw_b = tw.reshape((16,) + (1,) * (a.ndim - 2) + (half,))
-        v = F.mont_mul(a[..., half:], tw_b, FR)
-        a = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=-1)
-        a = a.reshape(shape)
-    return a
+    return N.ntt_stages(a, table, rev)
 
 
 def _split_sizes(n: int, n_dev: int) -> tuple[int, int]:

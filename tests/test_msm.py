@@ -49,3 +49,39 @@ def test_msm_window_sizes(rng):
 def test_msm_all_zero_scalars():
     g = H.g1_generator()
     assert M.msm_ints([g, g], [0, 0], c=4) is None
+
+
+def test_signed_digits_reconstruct(rng):
+    """Signed recoding must satisfy sum_w digit_w * 2^{cw} == scalar."""
+    c = 8
+    w_count = M.num_windows(c)
+    scalars = [rng.randrange(H.R) for _ in range(5)] + [0, H.R - 1]
+    sc = F.from_ints(scalars, F.FR, to_mont=False)
+    mags, negs = M.signed_digits(sc, c, w_count)
+    mags = np.asarray(mags).astype(np.int64)
+    negs = np.asarray(negs)
+    for i, s in enumerate(scalars):
+        total = 0
+        for w in range(w_count):
+            d = -int(mags[w, i]) if negs[w, i] else int(mags[w, i])
+            total += d << (c * w)
+        assert total == s
+        assert mags[:, i].max() <= 1 << (c - 1)
+
+
+def test_msm_2e12_default_window(rng):
+    """Production path: n=2^12 with the default c=8 signed-window
+    megakernel (round 1 never exercised default_window_bits sizes)."""
+    n = 1 << 12
+    g = H.g1_generator()
+    # few distinct points tiled (generation cost), full-width scalars
+    distinct = [H.g1_mul(g, rng.randrange(1, H.R)) for _ in range(8)]
+    pts = [distinct[i % 8] for i in range(n)]
+    scalars = [rng.randrange(H.R) for _ in range(n)]
+    got = M.msm_ints(pts, scalars)
+    # host oracle: group equal points, sum their scalars
+    acc = [0] * 8
+    for i, s in enumerate(scalars):
+        acc[i % 8] = (acc[i % 8] + s) % H.R
+    want = H.g1_msm(distinct, acc)
+    assert got == want

@@ -43,13 +43,10 @@ def test_dist_msm_matches_host(rng, mesh8):
     g = H.g1_generator()
     n = 16  # 2 points per device
     pts = [H.g1_mul(g, rng.randrange(1, H.R)) for _ in range(n)]
-    # 16-bit scalars (nbits=16 -> 4 windows at c=4): full 254-bit scalars
-    # mean 64 window executions — needlessly slow on the 2-core CPU CI
-    # box; the sharded data path is identical per window.
-    scalars = [rng.randrange(1 << 16) for _ in range(n)]
+    scalars = [rng.randrange(H.R) for _ in range(n)]
     batch = M.affine_from_ints(pts)
     sc = F.from_ints(scalars, F.FR, to_mont=False)
-    out = dist_msm.dist_msm(mesh8, batch, sc, c=4, nbits=16)
+    out = dist_msm.dist_msm(mesh8, batch, sc, c=4)
     got = __import__(
         "noir_backend_using_gnark_tpu.ops.curve", fromlist=["to_affine_ints"]
     ).to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
