@@ -89,7 +89,7 @@ def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) 
     """
     with metrics.phase("plonk.prove"), metrics.profiler_trace("prove"):
         metrics.count("prove.calls")
-        metrics.count("prove.domain_n", pk.n)
+        metrics.gauge("prove.domain_n", pk.n)
         return _prove_impl(pk, assignment_ints, rng_seed)
 
 

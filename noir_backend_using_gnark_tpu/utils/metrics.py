@@ -53,8 +53,24 @@ class _PhaseRecord:
         return d
 
 
+def _merge(dst: _PhaseRecord, src: _PhaseRecord) -> None:
+    """Accumulate src's timings into dst, recursively (caller holds lock)."""
+    dst.ms += src.ms
+    dst.calls += src.calls
+    for name, child in src.children.items():
+        _merge(dst.children.setdefault(name, _PhaseRecord(name)), child)
+
+
 class Collector:
-    """Thread-local phase stack over a shared, lock-guarded tree."""
+    """Thread-local phase stack over a shared, lock-guarded tree.
+
+    Each *top-level* phase invocation records into a fresh, thread-private
+    subtree that is merged into the persistent tree on exit — so the
+    per-phase JSON line reports THAT call's ms/calls and the counter
+    *deltas* since the call started (a second prove in one process is no
+    longer polluted by the first's cumulative totals), while
+    :func:`snapshot` still exposes the process-lifetime aggregate.
+    """
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -67,6 +83,7 @@ class Collector:
         with self._lock:
             self.root = _PhaseRecord("")
             self.counters: dict = {}
+            self.gauges: dict = {}
 
     def _stack(self):
         st = getattr(self._local, "stack", None)
@@ -79,9 +96,14 @@ class Collector:
     @contextlib.contextmanager
     def phase(self, name: str):
         stack = self._stack()
-        parent = stack[-1] if stack else self.root
-        with self._lock:
-            rec = parent.children.setdefault(name, _PhaseRecord(name))
+        top_level = not stack
+        if top_level:
+            # Fresh per-call subtree; merged into the shared tree on exit.
+            rec = _PhaseRecord(name)
+            with self._lock:
+                counters_at_start = dict(self.counters)
+        else:
+            rec = stack[-1].children.setdefault(name, _PhaseRecord(name))
         stack.append(rec)
         annot = _trace_annotation(name)
         t0 = time.perf_counter()
@@ -94,11 +116,19 @@ class Collector:
         finally:
             dt = (time.perf_counter() - t0) * 1e3
             stack.pop()
-            with self._lock:
-                rec.ms += dt
-                rec.calls += 1
-            if not stack and _emission_enabled():
-                self._emit(rec)
+            rec.ms += dt
+            rec.calls += 1
+            if top_level:
+                with self._lock:
+                    _merge(self.root.children.setdefault(name, _PhaseRecord(name)), rec)
+                    counter_delta = {
+                        k: v - counters_at_start.get(k, 0)
+                        for k, v in self.counters.items()
+                        if v != counters_at_start.get(k, 0)
+                    }
+                    gauges_now = dict(self.gauges)
+                if _emission_enabled():
+                    self._emit(rec, counter_delta, gauges_now)
 
     # -- counters ----------------------------------------------------------
 
@@ -106,25 +136,33 @@ class Collector:
         with self._lock:
             self.counters[name] = self.counters.get(name, 0) + value
 
+    def gauge(self, name: str, value) -> None:
+        """Last-value metric (e.g. domain size) — NOT accumulated."""
+        with self._lock:
+            self.gauges[name] = value
+
     # -- emission ------------------------------------------------------------
 
-    def _emit(self, rec: _PhaseRecord) -> None:
+    def _emit(self, rec: _PhaseRecord, counter_delta: dict, gauges: dict) -> None:
+        # rec is the finished call's private subtree — no lock needed.
         line = {
             "event": "phase",
             "name": rec.name,
             **rec.as_dict(),
         }
-        with self._lock:
-            if self.counters:
-                line["counters"] = dict(self.counters)
+        if counter_delta:
+            line["counters"] = counter_delta
+        if gauges:
+            line["gauges"] = gauges
         print(json.dumps(line), file=sys.stderr, flush=True)
 
     def snapshot(self) -> dict:
-        """Full metrics tree + counters (for tests / bench details)."""
+        """Full process-lifetime metrics tree + counters (tests/bench)."""
         with self._lock:
             return {
                 "phases": {k: v.as_dict() for k, v in self.root.children.items()},
                 "counters": dict(self.counters),
+                "gauges": dict(self.gauges),
             }
 
 
@@ -150,6 +188,10 @@ def phase(name: str):
 
 def count(name: str, value=1) -> None:
     _GLOBAL.count(name, value)
+
+
+def gauge(name: str, value) -> None:
+    _GLOBAL.gauge(name, value)
 
 
 def reset() -> None:

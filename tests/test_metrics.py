@@ -60,6 +60,32 @@ def test_no_emission_when_disabled(capsys):
     assert capsys.readouterr().err.strip() == ""
 
 
+def test_emission_is_per_call_not_cumulative(capsys):
+    """Second top-level invocation must report ITS OWN ms/calls and
+    counter deltas, not process-lifetime totals (ADVICE round 1)."""
+    metrics.enable(True)
+    for _ in range(2):
+        with metrics.phase("prove"):
+            with metrics.phase("inner"):
+                metrics.count("points", 10)
+    lines = [json.loads(l) for l in capsys.readouterr().err.strip().splitlines()]
+    assert len(lines) == 2
+    for line in lines:
+        assert line["calls"] == 1
+        assert line["children"]["inner"]["calls"] == 1
+        assert line["counters"]["points"] == 10  # delta, not 20
+    # the cumulative snapshot still aggregates
+    snap = metrics.snapshot()
+    assert snap["phases"]["prove"]["calls"] == 2
+    assert snap["counters"]["points"] == 20
+
+
+def test_gauge_is_last_value():
+    metrics.gauge("prove.domain_n", 1024)
+    metrics.gauge("prove.domain_n", 1024)
+    assert metrics.snapshot()["gauges"]["prove.domain_n"] == 1024
+
+
 def test_profiler_trace_noop_without_env(monkeypatch):
     monkeypatch.delenv("NOIRTPU_PROFILE", raising=False)
     with metrics.profiler_trace("prove"):
