@@ -34,6 +34,27 @@ class Backend:
     def __init__(self, config: Config | None = None):
         self.config = (config or DEFAULT).validate()
         self._srs = None
+        self._mesh = None
+        self._g16_seed = None
+
+    def mesh(self):
+        """Device mesh from ``config.mesh_shape`` (None for single chip).
+
+        The reference has no distributed layer (SURVEY §2 end); this is
+        the BASELINE.json multi-chip path: prover NTTs ride the sharded
+        four-step transform and commitment MSMs the distributed
+        Pippenger when the mesh has >1 device.
+        """
+        n_dev = 1
+        for s in self.config.mesh_shape:
+            n_dev *= int(s)
+        if n_dev <= 1:
+            return None
+        if self._mesh is None:
+            from .parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(n_dev)
+        return self._mesh
 
     # -- introspection ---------------------------------------------------
 
@@ -60,6 +81,24 @@ class Backend:
             self._srs = artifacts.try_load_srs(size, self.config.srs_path)
         return self._srs
 
+    def _groth16_seed(self) -> bytes:
+        """Stable per-Backend trusted-setup seed.
+
+        Mirrors the reference's per-machine SRS semantics
+        (common.go:127-144: random alpha, cached — keys only match
+        within the same cache): repeated preprocess/verify_from_cs
+        calls on one Backend derive the same toxic waste, so keys and
+        proofs interoperate; different Backends (without an explicit
+        ``prover_seed``) do not.
+        """
+        if self.config.prover_seed is not None:
+            return self.config.prover_seed
+        if self._g16_seed is None:
+            import os
+
+            self._g16_seed = os.urandom(32)
+        return self._g16_seed
+
     # -- the 4 proving operations ---------------------------------------
 
     def preprocess(self, circuit: model.Circuit) -> tuple[bytes, bytes]:
@@ -67,9 +106,22 @@ class Backend:
 
         Unlike the reference — which sends a vector of *random* values
         along (plonk/mod.rs:196; only the shape matters to gnark) — the
-        lowering here needs no values at all.
+        lowering here needs no values at all. ``config.scheme`` selects
+        PLONK or Groth16, mirroring the reference's cargo feature pair
+        (Cargo.toml:32-37; its groth16 externs were never linkable,
+        SURVEY §2.9 — ours dispatch for real).
         """
         with metrics.phase("preprocess"):
+            if self.config.scheme == "groth16":
+                from .groth16 import groth16
+
+                r1cs = groth16.build_r1cs(circuit)
+                metrics.count("constraints", r1cs.num_constraints)
+                pk, vk = groth16.setup(r1cs, self._groth16_seed())
+                return (
+                    artifacts.groth16_pk_to_bytes(pk),
+                    artifacts.groth16_vk_to_bytes(vk),
+                )
             pc = lowering.lower_to_plonk(circuit)
             metrics.count("constraints", len(pc.q_l))
             srs = self._srs_for(plonk_setup.domain_size_for(pc))
@@ -82,11 +134,28 @@ class Backend:
         """Dense witness values (1-based order, missing = 0 —
         backend.rs:24-33) + pk blob -> proof bytes (backend.rs:85-94)."""
         with metrics.phase("prove_with_pk"):
+            if self.config.scheme == "groth16":
+                from .groth16 import groth16
+
+                g16pk = artifacts.groth16_pk_from_bytes(proving_key)
+                proof = groth16.prove(
+                    g16pk, [v % R for v in values], self.config.prover_seed
+                )
+                return artifacts.groth16_proof_to_bytes(proof)
             pc = lowering.lower_to_plonk(circuit)
             pk = artifacts.pk_from_bytes(proving_key)
             pk.srs = self._srs_for(pk.n)
+            fp = getattr(pk, "srs_fingerprint", None)
+            if fp and fp != bytes(8) and fp != artifacts.srs_digest(pk.srs):
+                raise ProvingError(
+                    "proving key was built against a different SRS than the "
+                    "one loaded (srs fingerprint mismatch) — regenerate keys "
+                    "or point --srs-path at the original cache"
+                )
             assignment = lowering.build_assignment(pc, [v % R for v in values])
-            proof = plonk_prove.prove(pk, assignment, self.config.prover_seed)
+            proof = plonk_prove.prove(
+                pk, assignment, self.config.prover_seed, mesh=self.mesh()
+            )
             return artifacts.proof_to_bytes(proof)
 
     def verify_with_vk(
@@ -107,8 +176,17 @@ class Backend:
         """
         with metrics.phase("verify_with_vk"):
             pc = lowering.lower_to_plonk(circuit)
-            vk = artifacts.vk_from_bytes(verification_key)
             publics = self._extract_publics(pc, public_inputs)
+            if self.config.scheme == "groth16":
+                from .groth16 import groth16
+
+                g16vk = artifacts.groth16_vk_from_bytes(verification_key)
+                try:
+                    p16 = artifacts.groth16_proof_from_bytes(proof)
+                except Exception:
+                    return False
+                return groth16.verify(g16vk, p16, publics)
+            vk = artifacts.vk_from_bytes(verification_key)
             try:
                 p = artifacts.proof_from_bytes(proof)
             except Exception:
@@ -128,15 +206,8 @@ class Backend:
         """Setup-and-verify (backend.rs:68-75; the reference's Go
         PlonkVerifyWithMeta is a hardcoded ``return false`` stub,
         main.go:39-42 — ours verifies)."""
-        pc = lowering.lower_to_plonk(circuit)
-        srs = self._srs_for(plonk_setup.domain_size_for(pc))
-        _, vk = plonk_setup.setup(pc, srs)
-        publics = self._extract_publics(pc, public_inputs)
-        try:
-            p = artifacts.proof_from_bytes(proof)
-        except Exception:
-            return False
-        return plonk_verify.verify(vk, p, publics)
+        _, vk_bytes = self.preprocess(circuit)
+        return self.verify_with_vk(proof, public_inputs, circuit, vk_bytes)
 
     # -- witness generation ----------------------------------------------
 
@@ -156,14 +227,23 @@ class Backend:
 
     @staticmethod
     def _extract_publics(pc: lowering.PlonkCircuit, public_inputs: list) -> list:
+        """Extract the public values in lowering order.
+
+        The acvm calling convention (backend.rs:24-33) passes a *dense*
+        values vector indexed by 1-based witness; that interpretation
+        is tried first whenever the vector is long enough to cover the
+        highest public witness, so it always wins when both readings
+        are possible (round-1 review: the direct-list fallback used to
+        shadow it when ``len(values) == nb_public``). A bare list of
+        exactly the public values is accepted only as the fallback.
+        """
+        max_wit = max(pc.public_witness_indices, default=0)
+        if len(public_inputs) >= max_wit:
+            return [public_inputs[w - 1] % R for w in pc.public_witness_indices]
         if len(public_inputs) == len(pc.public_witness_indices):
             return [v % R for v in public_inputs]
-        publics = []
-        for wit_idx in pc.public_witness_indices:
-            if wit_idx - 1 < len(public_inputs):
-                publics.append(public_inputs[wit_idx - 1] % R)
-            else:
-                raise ProvingError(
-                    f"public input witness {wit_idx} missing from values vector"
-                )
-        return publics
+        raise ProvingError(
+            f"values vector of length {len(public_inputs)} covers neither the "
+            f"highest public witness index {max_wit} nor the public count "
+            f"{len(pc.public_witness_indices)}"
+        )

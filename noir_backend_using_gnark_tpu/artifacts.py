@@ -106,7 +106,16 @@ def g2_bytes(point) -> bytes:
     )
 
 
-def g2_from_bytes(data: bytes):
+def g2_from_bytes(data: bytes, check: bool = True):
+    """Decode an uncompressed G2 point, validating curve + subgroup
+    membership by default.
+
+    gnark's ReadFrom validates deserialized points; skipping the check
+    here would let an untrusted proof.b enter the pairing (invalid-
+    curve / small-subgroup attack surface — round-1 advisor finding).
+    BN254's G2 cofactor is > 1, so the r-torsion check is required, not
+    just on-curve.
+    """
     from .utils import hostcurve
 
     if len(data) != 128:
@@ -114,7 +123,15 @@ def g2_from_bytes(data: bytes):
     if data == bytes(128):
         return None
     c = [int.from_bytes(data[i * 32 : (i + 1) * 32], "big") for i in range(4)]
-    return (hostcurve.FQ2([c[1], c[0]]), hostcurve.FQ2([c[3], c[2]]))
+    if check and any(v >= Q for v in c):
+        raise ValueError("G2 coordinate out of range")
+    pt = (hostcurve.FQ2([c[1], c[0]]), hostcurve.FQ2([c[3], c[2]]))
+    if check:
+        if not hostcurve.g2_is_on_curve(pt):
+            raise ValueError("G2 point not on curve")
+        if hostcurve.g2_mul(pt, R) is not None:
+            raise ValueError("G2 point not in the r-torsion subgroup")
+    return pt
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +216,25 @@ def try_load_srs(size: int, path: str | None = None, alpha: int | None = None):
 
 PROOF_MAGIC = b"NTPUPRF1"
 VK_MAGIC = b"NTPUVK_1"
-PK_MAGIC = b"NTPUPK_1"
+PK_MAGIC = b"NTPUPK_1"  # legacy (no SRS fingerprint), still readable
+PK_MAGIC_V2 = b"NTPUPK_2"
+
+
+def srs_digest(srs) -> bytes:
+    """8-byte fingerprint of an SRS: hash of ([alpha]G1, size).
+
+    Proof keys embed this so proving with a *different* cached SRS
+    fails loudly instead of emitting proofs that just never verify
+    (the reference shares this foot-gun — its SRS cache is trusted by
+    path alone, common.go:127-144)."""
+    import hashlib
+
+    pts = srs.g1_ints(2)
+    alpha_g = pts[1] if len(pts) > 1 else pts[0]
+    h = hashlib.sha256()
+    h.update(g1_compress(alpha_g))
+    h.update(struct.pack(">Q", srs.size))
+    return h.digest()[:8]
 
 
 def _pack_felt(v: int) -> bytes:
@@ -300,7 +335,12 @@ def pk_to_bytes(pk) -> bytes:
     from .ops import field as F
 
     try:
-        out = [PK_MAGIC, struct.pack(">QIIII", pk.n, pk.nb_public, pk.nb_vars, pk.k1, pk.k2)]
+        fp = srs_digest(pk.srs) if pk.srs is not None else bytes(8)
+        out = [
+            PK_MAGIC_V2,
+            fp,
+            struct.pack(">QIIII", pk.n, pk.nb_public, pk.nb_vars, pk.k1, pk.k2),
+        ]
         for w in (pk.wire_a, pk.wire_b, pk.wire_c):
             out.append(np.asarray(w, np.int32).tobytes())
         for poly in (pk.ql, pk.qr, pk.qo, pk.qm, pk.qc, pk.s1, pk.s2, pk.s3,
@@ -322,10 +362,18 @@ def pk_from_bytes(data: bytes, srs=None):
     from .plonk.keys import ProvingKey
 
     try:
-        if data[:8] != PK_MAGIC:
+        if data[:8] == PK_MAGIC_V2:
+            fp = data[8:16]
+            off = 16
+        elif data[:8] == PK_MAGIC:
+            fp = None
+            off = 8
+        else:
             raise ValueError("bad pk magic")
-        n, nb_public, nb_vars, k1, k2 = struct.unpack(">QIIII", data[8:32])
-        off = 32
+        n, nb_public, nb_vars, k1, k2 = struct.unpack(
+            ">QIIII", data[off : off + 24]
+        )
+        off += 24
         wires = []
         for _ in range(3):
             wires.append(np.frombuffer(data[off : off + 4 * n], np.int32).copy())
@@ -341,7 +389,7 @@ def pk_from_bytes(data: bytes, srs=None):
             off += nbytes
             polys.append(jnp.asarray(arr))
         vk = vk_from_bytes(data[off:])
-        return ProvingKey(
+        pk = ProvingKey(
             n=n, nb_public=nb_public, nb_vars=nb_vars, k1=k1, k2=k2,
             wire_a=wires[0], wire_b=wires[1], wire_c=wires[2],
             ql=polys[0], qr=polys[1], qo=polys[2], qm=polys[3], qc=polys[4],
@@ -349,6 +397,8 @@ def pk_from_bytes(data: bytes, srs=None):
             s1_evals=polys[8], s2_evals=polys[9], s3_evals=polys[10],
             vk=vk, srs=srs,
         )
+        pk.srs_fingerprint = fp
+        return pk
     except (ValueError, struct.error, IndexError) as e:
         raise DeserializeKeyError(str(e)) from e
 

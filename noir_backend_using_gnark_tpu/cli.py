@@ -187,6 +187,20 @@ def main(argv=None) -> int:
     ap.add_argument("--srs-path", default=None)
     ap.add_argument("--srs-size", type=int, default=None)
     ap.add_argument("--seed", default=None, help="hex seed for deterministic proofs")
+    ap.add_argument(
+        "--scheme",
+        choices=("plonk", "groth16"),
+        default="plonk",
+        help="proof system (reference cargo features plonk/groth16)",
+    )
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        default=1,
+        metavar="N",
+        help="shard the prover over an N-device mesh (NTTs via the "
+        "four-step all_to_all transform, commitment MSMs distributed)",
+    )
     args = ap.parse_args(argv)
 
     cfg = Config()
@@ -196,6 +210,9 @@ def main(argv=None) -> int:
         cfg.srs_size = args.srs_size
     if args.seed:
         cfg.prover_seed = bytes.fromhex(args.seed)
+    cfg.scheme = args.scheme
+    if args.mesh > 1:
+        cfg.mesh_shape = (args.mesh,)
     from .utils.runtime import setup_jax
 
     setup_jax()

@@ -16,7 +16,7 @@ from typing import Optional
 
 @dataclasses.dataclass
 class Config:
-    curve: str = "bn254"  # "bls12_381" reserved (reference feature flag)
+    curve: str = "bn254"  # only curve; reference's bls12_381 flag descoped (README)
     scheme: str = "plonk"  # or "groth16"
     # SRS cache: mirrors $XDG_CONFIG/noir-lang/srs.hex (common.go:78-84).
     srs_path: Optional[str] = None
@@ -31,11 +31,13 @@ class Config:
     mesh_axis_names: tuple = ("shard",)
 
     def validate(self):
-        if self.curve not in ("bn254", "bls12_381"):
-            raise ValueError(f"unknown curve {self.curve}")
-        if self.curve == "bls12_381":
-            raise NotImplementedError(
-                "bls12_381 is reserved (reference feature flag); bn254 only for now"
+        if self.curve != "bn254":
+            # The reference's bls12_381 cargo feature is DESCOPED here
+            # (documented in README "Curve support"): the limb layout
+            # and two-adicity constants are BN254-specific today.
+            raise ValueError(
+                f"unsupported curve {self.curve!r}: bn254 only "
+                "(bls12_381 descoped — see README)"
             )
         if self.scheme not in ("plonk", "groth16"):
             raise ValueError(f"unknown scheme {self.scheme}")

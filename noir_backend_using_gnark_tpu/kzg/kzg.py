@@ -68,15 +68,16 @@ class SRS:
 
 
 def generate_srs(size: int, alpha: int) -> SRS:
-    """Powers-of-alpha SRS. The G1 powers are computed on device: the
-    scalar powers alpha^i come from a parallel prefix scan, and the
-    batched fixed-base multiply is 256 lane-parallel mixed adds
-    (ops/curve.fixed_base_mul) — not ``size`` sequential scalar muls.
+    """Powers-of-alpha SRS. The scalar powers alpha^i come from the
+    host power chain (no device compile), and the batched fixed-base
+    multiply is 256 lane-parallel mixed adds (ops/curve.fixed_base_mul)
+    on device — not ``size`` sequential scalar muls.
     """
     alpha %= bigint.FR_MODULUS
-    base = F.from_ints([alpha], FR)
-    scalars_mont = N.powers_of(base, size, FR)  # (16, size), Montgomery
-    scalars = F.from_mont(scalars_mont, FR)
+    # Host power chain (no device compile; see bigint.power_table).
+    scalars = jax.numpy.asarray(
+        bigint.power_table(alpha, size, bigint.FR_MODULUS, to_mont=False)
+    )
     table_x, table_y = C.generator_powers_table(256)
     jac = C.fixed_base_mul(table_x, table_y, scalars)
     ax, ay, inf = C.to_affine(jac)
@@ -86,8 +87,13 @@ def generate_srs(size: int, alpha: int) -> SRS:
     return SRS(g1_powers=g1, g2_gen=g2_gen, g2_alpha=g2_alpha)
 
 
-def commit(srs: SRS, coeffs: jax.Array) -> C.JacobianPoint:
-    """[f(alpha)]G1 for Montgomery-form coefficients (16, n)."""
+def commit(srs: SRS, coeffs: jax.Array, mesh=None) -> C.JacobianPoint:
+    """[f(alpha)]G1 for Montgomery-form coefficients (16, n).
+
+    With ``mesh`` the Pippenger runs distributed: SRS points and
+    scalars are partitioned across the mesh and per-device bucket
+    tables are folded with an all_gather (parallel/dist_msm.py).
+    """
     n = coeffs.shape[1]
     if n > srs.size:
         raise ValueError(f"polynomial degree {n - 1} exceeds SRS size {srs.size}")
@@ -95,12 +101,16 @@ def commit(srs: SRS, coeffs: jax.Array) -> C.JacobianPoint:
         srs.g1_powers.x[:, :n], srs.g1_powers.y[:, :n], srs.g1_powers.inf[:n]
     )
     scalars = F.from_mont(coeffs, FR)
+    if mesh is not None:
+        from ..parallel import dist_msm
+
+        return dist_msm.dist_msm(mesh, points, scalars)
     return M.msm(points, scalars)
 
 
-def commit_ints(srs: SRS, coeffs: jax.Array):
+def commit_ints(srs: SRS, coeffs: jax.Array, mesh=None):
     """Commit and return the affine int point (host)."""
-    pt = commit(srs, coeffs)
+    pt = commit(srs, coeffs, mesh=mesh)
     return C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], pt))[0]
 
 
@@ -111,7 +121,7 @@ def open_at(srs: SRS, coeffs: jax.Array, z: jax.Array):
     return commit(srs, q), rem
 
 
-def batch_open_at(srs: SRS, polys: list, z: jax.Array, gamma: int):
+def batch_open_at(srs: SRS, polys: list, z: jax.Array, gamma: int, mesh=None):
     """Batched opening at one point z.
 
     Folds the polynomials with powers of the (Fiat-Shamir) challenge
@@ -122,7 +132,7 @@ def batch_open_at(srs: SRS, polys: list, z: jax.Array, gamma: int):
     values = [P.eval_at(p, z) for p in polys]
     folded = P.linear_combination(polys, weights)
     q, _ = P.divide_by_linear(folded, z)
-    proof = commit_ints(srs, q)
+    proof = commit_ints(srs, q, mesh=mesh)
     return proof, [F.to_ints(v, FR)[0] for v in values]
 
 

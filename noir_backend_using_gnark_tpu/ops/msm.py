@@ -251,15 +251,14 @@ def accumulate_buckets(
 
     buckets, _ = jax.lax.scan(step, buckets, (pxr, pyr, pinfr, magr, negr))
 
-    # Lane fold: (16, W, L, B) -> (16, W, B); log2(L) complete-add levels.
-    l = lanes
-    while l > 1:
-        half = l // 2
-        top = jax.tree_util.tree_map(lambda a: a[:, :, :half], buckets)
-        bot = jax.tree_util.tree_map(lambda a: a[:, :, half : 2 * half], buckets)
-        buckets = C.add(top, bot)
-        l = half
-    return jax.tree_util.tree_map(lambda a: a[:, :, 0], buckets)  # (16, W, B)
+    # Lane fold: (16, W, L, B) -> (16, W, B). Move lanes to the last
+    # axis and run the constant-shape suffix scan (log2(L) steps under
+    # lax.scan, ONE group-law instantiation); element 0 is the lane
+    # total. The earlier halving tree instantiated the group law at
+    # log2(L) *different* shapes, bloating the compile on this host.
+    swapped = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 2, 3), buckets)
+    summed = _suffix_scan_points(swapped)  # (16, W, B, L), totals at [..., 0]
+    return jax.tree_util.tree_map(lambda a: a[..., 0], summed)  # (16, W, B)
 
 
 def msm_kernel(

@@ -108,21 +108,32 @@ class Domain:
         return self._rev_dev
 
     def fwd_table(self) -> jax.Array:
-        # ensure_compile_time_eval: the lazy fill may first be hit inside
-        # a jit trace; without it a tracer would leak into the cache and
-        # poison every later transform (UnexpectedTracerError).
+        # Host-side power chain (bigint.power_table): one device compile
+        # of the scan kernel costs 10-60 s on this relay host; the host
+        # chain is ~0.5 us/element and needs no compile at all.
         if self._fwd_table is None:
-            with jax.ensure_compile_time_eval():
-                base = F.from_ints([self.w_int], self.spec)
-                self._fwd_table = powers_of(base, max(self.n // 2, 1), self.spec)
+            self._fwd_table = jnp.asarray(
+                bigint.power_table(self.w_int, max(self.n // 2, 1), self.spec.modulus)
+            )
         return self._fwd_table
 
     def inv_table(self) -> jax.Array:
         if self._inv_table is None:
-            with jax.ensure_compile_time_eval():
-                base = F.from_ints([self.w_inv_int], self.spec)
-                self._inv_table = powers_of(base, max(self.n // 2, 1), self.spec)
+            self._inv_table = jnp.asarray(
+                bigint.power_table(
+                    self.w_inv_int, max(self.n // 2, 1), self.spec.modulus
+                )
+            )
         return self._inv_table
+
+    def x_powers(self) -> jax.Array:
+        """[w^0 .. w^{n-1}] (16, n) Montgomery — the domain points
+        themselves (host-generated, cached)."""
+        if getattr(self, "_x_powers", None) is None:
+            self._x_powers = jnp.asarray(
+                bigint.power_table(self.w_int, self.n, self.spec.modulus)
+            )
+        return self._x_powers
 
     def n_inv_dev(self) -> jax.Array:
         if self._n_inv_dev is None:
@@ -142,6 +153,15 @@ def ntt_stages(a: jax.Array, table: jax.Array, rev) -> jax.Array:
     ``table``: (16, n/2) twiddle power table ([w^0 .. w^{n/2-1}]);
     ``rev``: (n,) bit-reversal indices (host np or device array).
 
+    The log2(n) stages run under ONE ``lax.scan`` whose body has a
+    *constant shape*: butterfly indices and twiddle positions are
+    derived in-body from the traced stage number with shifts/masks, so
+    the compiled graph holds a single stage (gather + mont_mul +
+    add/sub + two unique-index scatters) regardless of n. The earlier
+    unrolled form embedded all log2(n) stages in the graph — on this
+    relay host its XLA compile went superlinear (2^18: >9 min; the scan
+    form compiles like a single mont_mul kernel).
+
     Shared by the single-chip fused kernel and the shard_map bodies in
     parallel/dist_ntt.py (where it must be part of one traced
     computation crossing collective boundaries).
@@ -149,18 +169,36 @@ def ntt_stages(a: jax.Array, table: jax.Array, rev) -> jax.Array:
     n = a.shape[-1]
     k = n.bit_length() - 1
     a = jnp.take(a, rev, axis=-1)
-    for s in range(1, k + 1):
-        half = 1 << (s - 1)
-        m = 2 * half
-        stride = (n // m) if m < n else 1
-        tw = table[:, ::stride][:, :half]  # (16, half), static slice
-        shape = a.shape
-        a = a.reshape(shape[:-1] + (n // m, m))
-        u = a[..., :half]
-        tw_b = tw.reshape((16,) + (1,) * (a.ndim - 2) + (half,))
-        v = F.mont_mul(a[..., half:], tw_b, FR)
-        a = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=-1)
-        a = a.reshape(shape)
+    if k == 0:
+        return a
+    half_n = n // 2
+    p = jnp.arange(half_n, dtype=jnp.int32)
+    q = jnp.arange(n, dtype=jnp.int32)
+    logn = jnp.int32(k)
+
+    def stage(carry, s):
+        # s in 1..k (traced). m = 2^s, half = 2^{s-1}. Gather-only: the
+        # butterfly results land as concat([u+v, u-v]) in pair order and
+        # a final arithmetic-index gather restores natural order (TPU
+        # scatters serialize; gathers vectorize).
+        half = jnp.left_shift(jnp.int32(1), s - 1)
+        j = p & (half - 1)
+        block = p >> (s - 1)
+        i0 = (block << s) + j
+        u = jnp.take(carry, i0, axis=-1)
+        v = jnp.take(carry, i0 + half, axis=-1)
+        tw = jnp.take(table, j << (logn - s), axis=-1)
+        tw_b = tw.reshape((16,) + (1,) * (carry.ndim - 2) + (half_n,))
+        v = F.mont_mul(v, tw_b, FR)
+        cat = jnp.concatenate([F.add(u, v, FR), F.sub(u, v, FR)], axis=-1)
+        # Output position q holds plus[...] if (q mod m) < half else
+        # minus[...], both at pair index (q >> s)*half + (q mod half).
+        within = q & ((half << 1) - 1)
+        src = (q >> s) * half + (within & (half - 1))
+        src = src + jnp.where(within < half, 0, half_n)
+        return jnp.take(cat, src, axis=-1), None
+
+    a, _ = jax.lax.scan(stage, a, jnp.arange(1, k + 1, dtype=jnp.int32))
     return a
 
 
@@ -218,8 +256,9 @@ class _CosetScale:
         key = (shift_int, n, inverse)
         if key not in cls._cache:
             base_int = pow(shift_int, -1, FR.modulus) if inverse else shift_int
-            with jax.ensure_compile_time_eval():
-                cls._cache[key] = powers_of(F.from_ints([base_int], FR), n, FR)
+            cls._cache[key] = jnp.asarray(
+                bigint.power_table(base_int, n, FR.modulus)
+            )
         return cls._cache[key]
 
 

@@ -123,3 +123,28 @@ def _minus_one():
 
 def four_step_intt(x: jax.Array, mesh) -> jax.Array:
     return four_step_ntt(x, mesh, inverse=True)
+
+
+def can_distribute(n: int, n_dev: int) -> bool:
+    """True iff a size-n transform splits onto n_dev devices (both
+    four-step factors divisible by the device count)."""
+    if n & (n - 1) or n == 0:
+        return False
+    try:
+        _split_sizes(n, n_dev)
+        return True
+    except ValueError:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_jit(mesh, n: int, inverse: bool):
+    def f(x):
+        return four_step_ntt(x, mesh, inverse=inverse)
+
+    return jax.jit(f)
+
+
+def four_step(x: jax.Array, mesh, inverse: bool = False) -> jax.Array:
+    """Compiled-and-cached distributed (I)NTT — one jit per (mesh, n)."""
+    return _four_step_jit(mesh, x.shape[-1], inverse)(x)

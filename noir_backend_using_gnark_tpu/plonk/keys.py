@@ -76,6 +76,9 @@ class ProvingKey:
     s3_evals: jax.Array
     vk: VerifyingKey = None
     srs: object = None  # kzg.SRS
+    # 8-byte fingerprint of the SRS this pk was built against (set by
+    # artifacts.pk_from_bytes for v2 blobs; None = legacy/unknown).
+    srs_fingerprint: Optional[bytes] = None
 
 
 @dataclass

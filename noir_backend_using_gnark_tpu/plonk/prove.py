@@ -74,26 +74,82 @@ def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
     return jnp.take(assignment, jnp.asarray(idx), axis=1)
 
 
-def _coset_evals(coeffs: jax.Array, big_n: int, domain4: N.Domain) -> jax.Array:
+class _TransformOps:
+    """NTT/commit dispatch: single-chip kernels, or the sharded
+    four-step NTT + distributed Pippenger when a mesh is supplied.
+
+    The distributed paths compute the *same* natural-order results as
+    the single-chip kernels, so proof bytes are identical for a given
+    blinding seed regardless of the mesh (tested in
+    tests/test_parallel.py). Transforms whose size does not split over
+    the mesh (n < D^2) transparently fall back to single-chip.
+    """
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import dist_ntt  # noqa: PLC0415
+
+            self._dn = dist_ntt
+            self._n_dev = mesh.devices.size
+
+    def _dist_ok(self, n: int) -> bool:
+        return self.mesh is not None and self._dn.can_distribute(n, self._n_dev)
+
+    def intt(self, evals: jax.Array, domain: N.Domain) -> jax.Array:
+        if self._dist_ok(evals.shape[-1]):
+            return self._dn.four_step(evals, self.mesh, inverse=True)
+        return N.intt(evals, domain)
+
+    def coset_ntt(self, coeffs: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
+        n = coeffs.shape[-1]
+        if self._dist_ok(n):
+            scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
+            return self._dn.four_step(scaled, self.mesh)
+        return N.coset_ntt(coeffs, shift, domain)
+
+    def coset_intt(self, evals: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
+        n = evals.shape[-1]
+        if self._dist_ok(n):
+            coeffs = self._dn.four_step(evals, self.mesh, inverse=True)
+            return N._scale_vec(coeffs, N._CosetScale.get(shift, n, True))
+        return N.coset_intt(evals, shift, domain)
+
+    def commit(self, srs, coeffs: jax.Array):
+        return kzg.commit_ints(srs, coeffs, mesh=self.mesh)
+
+
+def _coset_evals(coeffs: jax.Array, big_n: int, domain4: N.Domain, ops: _TransformOps) -> jax.Array:
     padded = jnp.pad(coeffs, ((0, 0), (0, big_n - coeffs.shape[1])))
-    return N.coset_ntt(padded, QUOTIENT_SHIFT, domain4)
+    return ops.coset_ntt(padded, QUOTIENT_SHIFT, domain4)
 
 
-def prove(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None = None) -> Proof:
+def prove(
+    pk: ProvingKey,
+    assignment_ints: list,
+    rng_seed: bytes | None = None,
+    mesh=None,
+) -> Proof:
     """Generate a PLONK proof for the cs-variable assignment.
 
     ``assignment_ints``: host ints, publics first (lowering order).
     ``rng_seed``: optional 32-byte seed for deterministic blinding
     (None = os.urandom — fresh randomness per proof, like gnark's
     randomized prover; BASELINE.md bit-exactness caveat).
+    ``mesh``: optional jax.sharding.Mesh — shards every NTT (four-step
+    all_to_all decomposition) and every KZG commitment MSM (distributed
+    bucket accumulation) across the mesh devices. Proof bytes match the
+    single-chip path for the same seed.
     """
     with metrics.phase("plonk.prove"), metrics.profiler_trace("prove"):
         metrics.count("prove.calls")
         metrics.gauge("prove.domain_n", pk.n)
-        return _prove_impl(pk, assignment_ints, rng_seed)
+        return _prove_impl(pk, assignment_ints, rng_seed, _TransformOps(mesh))
 
 
-def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -> Proof:
+def _prove_impl(
+    pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None, ops: _TransformOps
+) -> Proof:
     n = pk.n
     domain = N.Domain.get(n)
     big_n = 4 * n
@@ -129,13 +185,13 @@ def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -
     wc_e = _gather_wires(assignment, pk.wire_c)
 
     with metrics.phase("round1.wires"):
-        a_c = _blind(N.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
-        b_c = _blind(N.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
-        c_c = _blind(N.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
+        a_c = _blind(ops.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
+        b_c = _blind(ops.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
+        c_c = _blind(ops.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
 
-        com_a = kzg.commit_ints(pk.srs, a_c)
-        com_b = kzg.commit_ints(pk.srs, b_c)
-        com_c = kzg.commit_ints(pk.srs, c_c)
+        com_a = ops.commit(pk.srs, a_c)
+        com_b = ops.commit(pk.srs, b_c)
+        com_c = ops.commit(pk.srs, c_c)
 
     ts = Transcript("noirtpu-plonk-v1")
     ts.absorb(b"n", pk.n.to_bytes(8, "big"))
@@ -148,7 +204,7 @@ def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -
     gamma = ts.challenge(b"gamma")
 
     # ---- Round 2: permutation grand product ---------------------------
-    xs = N.powers_of(F.from_ints([omega], FR), n, FR)  # omega^i
+    xs = domain.x_powers()  # omega^i (host-generated, cached)
     beta_d = F.from_ints([beta], FR)
     gamma_col = F.from_ints([gamma] * n, FR)
 
@@ -173,43 +229,40 @@ def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -
         z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
 
         z_c = _blind(
-            N.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
+            ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
         )
-        com_z = kzg.commit_ints(pk.srs, z_c)
+        com_z = ops.commit(pk.srs, z_c)
     ts.absorb_point(b"z", com_z)
     alpha = ts.challenge(b"alpha")
 
     # ---- Round 3: quotient --------------------------------------------
-    a4 = _coset_evals(a_c, big_n, domain4)
-    b4 = _coset_evals(b_c, big_n, domain4)
-    c4 = _coset_evals(c_c, big_n, domain4)
-    z4 = _coset_evals(z_c, big_n, domain4)
+    a4 = _coset_evals(a_c, big_n, domain4, ops)
+    b4 = _coset_evals(b_c, big_n, domain4, ops)
+    c4 = _coset_evals(c_c, big_n, domain4, ops)
+    z4 = _coset_evals(z_c, big_n, domain4, ops)
     zw4 = jnp.roll(z4, -4, axis=1)  # z(omega * x) on the coset (omega = w4^4)
-    ql4 = _coset_evals(pk.ql, big_n, domain4)
-    qr4 = _coset_evals(pk.qr, big_n, domain4)
-    qo4 = _coset_evals(pk.qo, big_n, domain4)
-    qm4 = _coset_evals(pk.qm, big_n, domain4)
-    qc4 = _coset_evals(pk.qc, big_n, domain4)
-    s14 = _coset_evals(pk.s1, big_n, domain4)
-    s24 = _coset_evals(pk.s2, big_n, domain4)
-    s34 = _coset_evals(pk.s3, big_n, domain4)
+    ql4 = _coset_evals(pk.ql, big_n, domain4, ops)
+    qr4 = _coset_evals(pk.qr, big_n, domain4, ops)
+    qo4 = _coset_evals(pk.qo, big_n, domain4, ops)
+    qm4 = _coset_evals(pk.qm, big_n, domain4, ops)
+    qc4 = _coset_evals(pk.qc, big_n, domain4, ops)
+    s14 = _coset_evals(pk.s1, big_n, domain4, ops)
+    s24 = _coset_evals(pk.s2, big_n, domain4, ops)
+    s34 = _coset_evals(pk.s3, big_n, domain4, ops)
 
     # PI polynomial: -pub_i at row i, else 0.
     pi_evals = F.from_ints(
         [(-p) % R for p in publics] + [0] * (n - len(publics)), FR
     )
-    pi4 = _coset_evals(N.intt(pi_evals, domain), big_n, domain4)
+    pi4 = _coset_evals(ops.intt(pi_evals, domain), big_n, domain4, ops)
 
     # L0 = (1/n) * sum X^j.
     n_inv = pow(n, -1, R)
     l0_c = F.from_ints([n_inv] * n, FR)
-    l04 = _coset_evals(l0_c, big_n, domain4)
+    l04 = _coset_evals(l0_c, big_n, domain4, ops)
 
     # Coset points x = g * w4^j and Z_H^{-1}(x) (period-4 pattern).
-    xs4 = P.scale_poly(
-        N.powers_of(F.from_ints([domain4.w_int], FR), big_n, FR),
-        F.from_ints([QUOTIENT_SHIFT], FR),
-    )
+    xs4 = P.scale_poly(domain4.x_powers(), F.from_ints([QUOTIENT_SHIFT], FR))
     g_n = pow(QUOTIENT_SHIFT, n, R)
     i4 = pow(domain4.w_int, n, R)
     zh_pat = []
@@ -254,16 +307,16 @@ def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -
         FR,
     )
     t4 = _mul_combine(numer, zh_inv4)
-    t_c = N.coset_intt(t4, QUOTIENT_SHIFT, domain4)  # degree <= 2n+4
+    t_c = ops.coset_intt(t4, QUOTIENT_SHIFT, domain4)  # degree <= 2n+4
 
     chunk = n + 2
     t0_c = t_c[:, :chunk]
     t1_c = t_c[:, chunk : 2 * chunk]
     t2_c = t_c[:, 2 * chunk : 3 * chunk]
     with metrics.phase("round3.quotient"):
-        com_t0 = kzg.commit_ints(pk.srs, t0_c)
-        com_t1 = kzg.commit_ints(pk.srs, t1_c)
-        com_t2 = kzg.commit_ints(pk.srs, t2_c)
+        com_t0 = ops.commit(pk.srs, t0_c)
+        com_t1 = ops.commit(pk.srs, t1_c)
+        com_t2 = ops.commit(pk.srs, t2_c)
     ts.absorb_point(b"t0", com_t0)
     ts.absorb_point(b"t1", com_t1)
     ts.absorb_point(b"t2", com_t2)
@@ -302,9 +355,9 @@ def _prove_impl(pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None) -
 
     # ---- Round 5: opening proofs --------------------------------------
     with metrics.phase("round5.open"):
-        w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu)
+        w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu, mesh=ops.mesh)
         q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
-        w_zeta_omega = kzg.commit_ints(pk.srs, q_zw)
+        w_zeta_omega = ops.commit(pk.srs, q_zw)
 
     return Proof(
         a=com_a,

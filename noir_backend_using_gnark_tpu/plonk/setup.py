@@ -46,9 +46,19 @@ def _check_cosets(n: int):
 
 
 def domain_size_for(pc: PlonkCircuit) -> int:
+    """Smallest power-of-two domain covering the rows.
+
+    ``NOIRTPU_MIN_DOMAIN`` (env) raises the floor — padding many small
+    circuits to one common domain lets them share every compiled
+    kernel shape (the integration suite pads its 15 programs to n=32
+    so the whole tier pays for ONE set of XLA compiles).
+    """
+    import os
+
+    floor = int(os.environ.get("NOIRTPU_MIN_DOMAIN", "8"))
     rows = pc.nb_public + pc.n_gates
     n = 8
-    while n < rows:
+    while n < max(rows, floor):
         n *= 2
     return n
 

@@ -104,6 +104,37 @@ def limb_array_to_ints(arr: np.ndarray) -> list[int]:
     return [limbs_to_int(arr[:, j]) for j in range(n)]
 
 
+def ints_to_limb_array_fast(values) -> np.ndarray:
+    """Vectorized :func:`ints_to_limb_array`: ints -> (16, N) uint32.
+
+    Goes through a packed little-endian byte buffer so the per-limb
+    split is pure numpy — ~20x faster than the scalar loop for the
+    2^20-element power tables the NTT domains need.
+    """
+    buf = b"".join(int(v).to_bytes(32, "little") for v in values)
+    raw = np.frombuffer(buf, np.uint8).reshape(-1, 32)
+    limbs = raw[:, 0::2].astype(np.uint32) | (raw[:, 1::2].astype(np.uint32) << 8)
+    return np.ascontiguousarray(limbs.T)
+
+
+def power_table(base: int, n: int, modulus: int, to_mont: bool = True) -> np.ndarray:
+    """[base^0, .., base^{n-1}] mod p as a (16, n) limb array (host).
+
+    Host Python-int multiplication chain: ~0.5 us/element — always
+    cheaper than compiling a device scan kernel on this relay host
+    (one `powers_of` XLA compile measured 9-31 s). Montgomery form by
+    default (multiply through by R = 2^256).
+    """
+    base %= modulus
+    r_mont = (1 << 256) % modulus if to_mont else 1
+    vals = []
+    acc = r_mont
+    for _ in range(n):
+        vals.append(acc)
+        acc = acc * base % modulus
+    return ints_to_limb_array_fast(vals)
+
+
 # ---------------------------------------------------------------------------
 # Wire-format codecs (reference-compatible)
 # ---------------------------------------------------------------------------

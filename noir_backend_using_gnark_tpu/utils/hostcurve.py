@@ -12,6 +12,14 @@ the implementation of the cheap host-side pieces of the proof system:
 
 Everything here is scalar Python; the hot batched paths live in
 ``ops/`` as JAX/Pallas kernels.
+
+Attribution: the pairing section (FQP tower construction, the
+``twist``/line-function/Miller-loop structure and the BN254 ate loop
+count) is derived from the Ethereum Foundation's ``py_ecc`` bn128
+module (MIT license, https://github.com/ethereum/py_ecc) — a public
+reference implementation, independent of the reference backend this
+repo reimplements. The group law, codecs and everything outside the
+pairing are original.
 """
 
 from __future__ import annotations

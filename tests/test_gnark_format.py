@@ -1,0 +1,193 @@
+"""gnark v0.8 byte-layout round trips (formats/gnark.py).
+
+These validate the structural properties that do not need a live gnark
+build: size arithmetic, flag semantics, round trips through decode,
+and the vk field mapping. Byte-for-byte golden vectors from a real
+gnark process are tracked in CONFORMANCE.md (tests/fixtures/gnark/ is
+reserved for them).
+"""
+
+import pytest
+
+from noir_backend_using_gnark_tpu.formats import gnark as G
+from noir_backend_using_gnark_tpu.utils import bigint, hostcurve as H
+
+Q = bigint.FQ_MODULUS
+R = bigint.FR_MODULUS
+
+
+# ---------------------------------------------------------------------------
+# G1 / G2 point codecs
+# ---------------------------------------------------------------------------
+
+
+def test_g1_flags_and_roundtrip(rng):
+    g = H.g1_generator()
+    for k in [1, 2, 5, rng.randrange(1, R)]:
+        p = H.g1_mul(g, k)
+        blob = G.g1_bytes(p)
+        assert len(blob) == 32
+        assert blob[0] & G._MASK in (G._COMPRESSED_SMALLEST, G._COMPRESSED_LARGEST)
+        back, off = G.g1_read(blob, 0)
+        assert off == 32 and back == p
+
+
+def test_g1_infinity():
+    blob = G.g1_bytes(None)
+    assert blob[0] == G._COMPRESSED_INFINITY and blob[1:] == bytes(31)
+    back, _ = G.g1_read(blob, 0)
+    assert back is None
+
+
+def test_g2_roundtrip(rng):
+    g2 = H.g2_generator()
+    for k in [1, 3, rng.randrange(1, R)]:
+        p = H.g2_mul(g2, k)
+        blob = G.g2_bytes_compressed(p)
+        assert len(blob) == 64
+        back, off = G.g2_read_compressed(blob, 0)
+        assert off == 64
+        assert back[0] == p[0] and back[1] == p[1]
+
+
+def test_g2_infinity_and_bad_flag():
+    blob = G.g2_bytes_compressed(None)
+    back, _ = G.g2_read_compressed(blob, 0)
+    assert back is None
+    bad = bytearray(G.g2_bytes_compressed(H.g2_generator()))
+    bad[0] = (bad[0] & ~G._MASK) | G._UNCOMPRESSED  # invalid for compressed read
+    with pytest.raises(ValueError):
+        G.g2_read_compressed(bytes(bad), 0)
+
+
+def test_g2_rejects_non_subgroup_x():
+    # Find an x on the twist curve but (with overwhelming probability
+    # for cofactor > 1) outside the r-torsion: brute-force small x.
+    found = None
+    for xa0 in range(1, 200):
+        x = H.FQ2([xa0, 0])
+        y = G._fq2_sqrt(x * x * x + H.G2_B)
+        if y is None:
+            continue
+        pt = (x, y)
+        if H.g2_mul(pt, R) is not None:
+            found = pt
+            break
+    assert found is not None, "expected a non-subgroup twist point among small x"
+    blob = G.g2_bytes_compressed(found)
+    with pytest.raises(ValueError):
+        G.g2_read_compressed(blob, 0)
+
+
+# ---------------------------------------------------------------------------
+# VerifyingKey layout
+# ---------------------------------------------------------------------------
+
+
+def _toy_vk():
+    from noir_backend_using_gnark_tpu.plonk.keys import VerifyingKey
+
+    g = H.g1_generator()
+    pts = [H.g1_mul(g, k) for k in range(3, 11)]
+    from noir_backend_using_gnark_tpu.ops.ntt import Domain
+
+    n = 16
+    return VerifyingKey(
+        n=n,
+        nb_public=2,
+        generator=Domain.get(n).w_int,
+        k1=5,
+        k2=25,
+        q_l=pts[0],
+        q_r=pts[1],
+        q_o=pts[2],
+        q_m=pts[3],
+        q_c=pts[4],
+        s1=pts[5],
+        s2=pts[6],
+        s3=pts[7],
+        g2_gen=H.g2_generator(),
+        g2_alpha=H.g2_mul(H.g2_generator(), 7),
+    )
+
+
+def test_vk_gnark_layout_roundtrip():
+    vk = _toy_vk()
+    blob = G.vk_to_gnark_bytes(vk)
+    # Size u64 + 2 fr + u64 + fr + 8 digests = 8+32+32+8+32+8*32 = 368.
+    assert len(blob) == 368
+    assert int.from_bytes(blob[:8], "big") == vk.n
+    back = G.vk_from_gnark_bytes(blob, vk.g2_gen, vk.g2_alpha)
+    assert back.n == vk.n
+    assert back.nb_public == vk.nb_public
+    assert back.generator == vk.generator
+    assert back.k1 == vk.k1 and back.k2 == vk.k2  # K2 = CosetShift^2
+    assert back.commitment_list() == vk.commitment_list()
+    assert G.vk_to_gnark_bytes(back) == blob
+
+
+def test_vk_gnark_sizeinv_checked():
+    vk = _toy_vk()
+    blob = bytearray(G.vk_to_gnark_bytes(vk))
+    blob[8:40] = G.fr_bytes(12345)  # corrupt SizeInv
+    from noir_backend_using_gnark_tpu.errors import DeserializeKeyError
+
+    with pytest.raises(DeserializeKeyError):
+        G.vk_from_gnark_bytes(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Proof container
+# ---------------------------------------------------------------------------
+
+
+def test_proof_gnark_layout_roundtrip(rng):
+    g = H.g1_generator()
+    pts = [H.g1_mul(g, rng.randrange(1, R)) for _ in range(10)]
+    p = G.GnarkProof(
+        lro=(pts[0], pts[1], pts[2]),
+        z=pts[3],
+        h=(pts[4], pts[5], pts[6]),
+        batched_h=pts[7],
+        claimed_values=[rng.randrange(R) for _ in range(6)],
+        shifted_h=pts[8],
+        z_shifted_value=rng.randrange(R),
+    )
+    blob = G.proof_to_gnark_bytes(p)
+    # 8 digests + u32 + 6 fr + digest + fr = 8*32 + 4 + 6*32 + 32 + 32 = 516.
+    assert len(blob) == 516
+    back = G.proof_from_gnark_bytes(blob)
+    assert back == p
+    assert G.proof_to_gnark_bytes(back) == blob
+
+
+def test_proof_gnark_trailing_bytes_rejected(rng):
+    g = H.g1_generator()
+    p = G.GnarkProof(
+        lro=(g, g, g), z=g, h=(g, g, g), batched_h=g,
+        claimed_values=[1], shifted_h=g, z_shifted_value=2,
+    )
+    from noir_backend_using_gnark_tpu.errors import DeserializeProofError
+
+    with pytest.raises(DeserializeProofError):
+        G.proof_from_gnark_bytes(G.proof_to_gnark_bytes(p) + b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# SRS layout (host-only structural test: build an SRS from known host
+# points without any device work)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_srs_gnark_layout_roundtrip():
+    from noir_backend_using_gnark_tpu.kzg import kzg
+
+    srs = kzg.generate_srs(8, 123456789)
+    blob = G.srs_to_gnark_bytes(srs)
+    # 2 G2 (64B) + u32 + 8 G1 (32B) = 128 + 4 + 256.
+    assert len(blob) == 388
+    back = G.srs_from_gnark_bytes(blob)
+    assert back.size == srs.size
+    assert G.srs_to_gnark_bytes(back) == blob
+    assert back.g2_alpha[0] == srs.g2_alpha[0]

@@ -28,9 +28,6 @@ REFERENCE_PROGRAMS = [
     "priv_x_eq_pub_y", "priv_x_neq_pub_y", "struct",
 ]
 
-PROVE_SUBSET = ["priv_x_neq_pub_y", "priv_x_eq_pub_y", "assign_ex"]
-
-
 def test_all_reference_programs_present():
     assert ALL_PROGRAMS == sorted(REFERENCE_PROGRAMS)
 
@@ -49,25 +46,27 @@ def test_check_and_execute(name, tmp_path):
     assert lowering.check_satisfied(pc, assignment, bigint.FR_MODULUS) == []
 
 
-@pytest.mark.parametrize("name", PROVE_SUBSET)
-def test_prove_verify_subset(name, tmp_path, monkeypatch):
-    _cli_round_trip(name, tmp_path, monkeypatch)
+@pytest.fixture(scope="module")
+def shared_srs_dir(tmp_path_factory):
+    """ONE SRS file for the whole tier (the reference reuses its cached
+    srs.hex across all programs the same way, common.go:78-84)."""
+    return tmp_path_factory.mktemp("srs")
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", [p for p in REFERENCE_PROGRAMS if p not in PROVE_SUBSET])
-def test_prove_verify_rest(name, tmp_path, monkeypatch):
-    _cli_round_trip(name, tmp_path, monkeypatch)
-
-
-def _cli_round_trip(name, tmp_path, monkeypatch):
-    """Drive the CLI exactly as the reference drives nargo."""
+@pytest.mark.parametrize("name", REFERENCE_PROGRAMS)
+def test_prove_verify_round_trip(name, tmp_path, monkeypatch, shared_srs_dir):
+    """The full nargo-verb round trip for ALL 15 programs, like the
+    reference suite (tests/tests.rs:101-138 runs every program every
+    time). Kept inside default CI time by (a) sharing one SRS across
+    programs and (b) padding every circuit to a common n=256 domain so
+    the entire tier reuses one set of compiled kernel shapes."""
     import shutil
 
+    monkeypatch.setenv("NOIRTPU_MIN_DOMAIN", "256")
     pkg = tmp_path / name
     shutil.copytree(PROGRAMS_DIR / name, pkg)
-    srs = str(tmp_path / "srs.hex")
-    args = ["--srs-path", srs, "--srs-size", "1024", "--seed", "ab" * 32]
+    srs = str(shared_srs_dir / "srs.hex")
+    args = ["--srs-path", srs, "--srs-size", "512", "--seed", "ab" * 32]
     assert cli.main(["check", str(pkg)] + args) == 0
     assert cli.main(["compile", str(pkg)] + args) == 0
     assert cli.main(["execute", str(pkg)] + args) == 0
