@@ -129,7 +129,7 @@ def batch_open_at(srs: SRS, polys: list, z: jax.Array, gamma: int, mesh=None):
     values list of f_i(z) host ints).
     """
     weights = [F.from_ints([pow(gamma, i, FR.modulus)], FR) for i in range(len(polys))]
-    values = [P.eval_at(p, z) for p in polys]
+    values = P.eval_many(polys, z)  # ONE dispatch for all evaluations
     folded = P.linear_combination(polys, weights)
     q, _ = P.divide_by_linear(folded, z)
     proof = commit_ints(srs, q, mesh=mesh)

@@ -126,9 +126,14 @@ def signed_digits(scalars: jax.Array, c: int, num_w: int):
     return jnp.stack(mags, axis=0), jnp.stack(negs, axis=0)
 
 
-def _lanes_for(n: int, c: int, mem_budget: int = 1 << 29) -> int:
+def _lanes_for(n: int, c: int, mem_budget: int = 1 << 27) -> int:
     """Lanes per window: enough steps to amortize, bounded by the
-    bucket-table memory budget (bytes) and by fold work W*L*B << W*N."""
+    bucket-table memory budget (bytes) and by fold work W*L*B << W*N.
+
+    The budget is the *live table* size; XLA holds several temporary
+    copies of the scan carry (remat + double buffering), so 128 MB of
+    tables keeps peak HBM ~1 GB (round-2 lesson: a 512 MB budget OOMed
+    a 16 GB chip at 2^18 with 29 GB of temps)."""
     nbuckets = (1 << (c - 1)) + 1
     w = num_windows(c)
     by_mem = mem_budget // (192 * w * nbuckets)  # 3 coords * 16 limbs * 4 B
@@ -226,28 +231,34 @@ def accumulate_buckets(
     negr = jnp.moveaxis(negs.reshape(w_count, t_steps, lanes), 1, 0)
 
     buckets = C.infinity((w_count, lanes, nb))
-    ww = jax.lax.broadcasted_iota(jnp.int32, (w_count, lanes), 0)
-    ll = jax.lax.broadcasted_iota(jnp.int32, (w_count, lanes), 1)
 
     def step(bk, xs):
+        # One-hot bucket access: TPU lanes cannot scatter/gather to
+        # per-lane addresses (XLA serializes them — measured ~100x off
+        # peak), so the read and the writeback are B-way vectorized
+        # SELECTS over the small bucket axis instead. Extra work is
+        # O(B) cheap selects per EC add; everything stays on the VPU.
         px_t, py_t, pinf_t, mag_t, neg_t = xs
-        d = mag_t.astype(jnp.int32)  # (W, L), unique per (w, l) row
-        cur = C.JacobianPoint(
-            bk.x[:, ww, ll, d], bk.y[:, ww, ll, d], bk.z[:, ww, ll, d]
-        )  # (16, W, L)
+        d = mag_t.astype(jnp.int32)  # (W, L)
+        cur = jax.tree_util.tree_map(lambda a: a[..., 0], bk)
+        for b in range(1, nb):
+            cur = C.select_point(
+                d == b, jax.tree_util.tree_map(lambda a: a[..., b], bk), cur
+            )
         qx = jnp.broadcast_to(px_t[:, None, :], (16, w_count, lanes))
         qy = jnp.broadcast_to(py_t[:, None, :], (16, w_count, lanes))
         qy = F.select(neg_t, F.neg(qy, FQ), qy)
         qinf = jnp.broadcast_to(pinf_t[None, :], (w_count, lanes)) | (mag_t == 0)
         new = C.add_mixed(cur, qx, qy, qinf)
-        return (
-            C.JacobianPoint(
-                bk.x.at[:, ww, ll, d].set(new.x, unique_indices=True),
-                bk.y.at[:, ww, ll, d].set(new.y, unique_indices=True),
-                bk.z.at[:, ww, ll, d].set(new.z, unique_indices=True),
-            ),
-            None,
+        hit = jax.lax.broadcasted_iota(
+            jnp.int32, (w_count, lanes, nb), 2
+        ) == d[..., None]
+        bk = C.JacobianPoint(
+            jnp.where(hit[None], new.x[..., None], bk.x),
+            jnp.where(hit[None], new.y[..., None], bk.y),
+            jnp.where(hit[None], new.z[..., None], bk.z),
         )
+        return bk, None
 
     buckets, _ = jax.lax.scan(step, buckets, (pxr, pyr, pinfr, magr, negr))
 

@@ -70,6 +70,16 @@ def _mul_combine(a, b):
     return F.mont_mul(a, b, FR)
 
 
+@jax.jit
+def _prefix_product(ratio):
+    """Inclusive prefix product along the last axis — ONE dispatch
+    (in-graph rolled scan; the host-orchestrated scan was ~3*log2(n)
+    relay round-trips)."""
+    return scan_utils.rolled_scan(
+        lambda a, b: F.mont_mul(a, b, FR), ratio
+    )
+
+
 def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
     return jnp.take(assignment, jnp.asarray(idx), axis=1)
 
@@ -98,6 +108,12 @@ class _TransformOps:
 
     def intt(self, evals: jax.Array, domain: N.Domain) -> jax.Array:
         if self._dist_ok(evals.shape[-1]):
+            if evals.ndim > 2:  # batched: distribute each slice
+                cols = [
+                    self._dn.four_step(evals[:, i], self.mesh, inverse=True)
+                    for i in range(evals.shape[1])
+                ]
+                return jnp.stack(cols, axis=1)
             return self._dn.four_step(evals, self.mesh, inverse=True)
         return N.intt(evals, domain)
 
@@ -105,6 +121,12 @@ class _TransformOps:
         n = coeffs.shape[-1]
         if self._dist_ok(n):
             scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
+            if scaled.ndim > 2:
+                cols = [
+                    self._dn.four_step(scaled[:, i], self.mesh)
+                    for i in range(scaled.shape[1])
+                ]
+                return jnp.stack(cols, axis=1)
             return self._dn.four_step(scaled, self.mesh)
         return N.coset_ntt(coeffs, shift, domain)
 
@@ -180,14 +202,17 @@ def _prove_impl(
     assignment = F.from_ints(assignment_ints, FR)
 
     # ---- Round 1: wire polynomials ------------------------------------
-    wa_e = _gather_wires(assignment, pk.wire_a)  # (16, n) evaluations
-    wb_e = _gather_wires(assignment, pk.wire_b)
-    wc_e = _gather_wires(assignment, pk.wire_c)
+    # One gather + ONE batched INTT for all three wires (dispatch
+    # latency on the relay host makes per-poly calls expensive).
+    wires_idx = np.stack([pk.wire_a, pk.wire_b, pk.wire_c])  # (3, n)
+    wires_e = jnp.take(assignment, jnp.asarray(wires_idx), axis=1)  # (16, 3, n)
+    wa_e, wb_e, wc_e = wires_e[:, 0], wires_e[:, 1], wires_e[:, 2]
 
     with metrics.phase("round1.wires"):
-        a_c = _blind(ops.intt(wa_e, domain), n, [draw_blind(), draw_blind()])
-        b_c = _blind(ops.intt(wb_e, domain), n, [draw_blind(), draw_blind()])
-        c_c = _blind(ops.intt(wc_e, domain), n, [draw_blind(), draw_blind()])
+        wires_c = ops.intt(wires_e, domain)  # (16, 3, n)
+        a_c = _blind(wires_c[:, 0], n, [draw_blind(), draw_blind()])
+        b_c = _blind(wires_c[:, 1], n, [draw_blind(), draw_blind()])
+        c_c = _blind(wires_c[:, 2], n, [draw_blind(), draw_blind()])
 
         com_a = ops.commit(pk.srs, a_c)
         com_b = ops.commit(pk.srs, b_c)
@@ -224,7 +249,7 @@ def _prove_impl(
             lin(wc_e, pk.s3_evals),
         )
         ratio = _mul_combine(num, F.batch_inv(den, FR))
-        prefix = scan_utils.inclusive_scan(_mul_combine, ratio)
+        prefix = _prefix_product(ratio)
         one = F.one_mont(FR, (1,))
         z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
 
@@ -236,30 +261,32 @@ def _prove_impl(
     alpha = ts.challenge(b"alpha")
 
     # ---- Round 3: quotient --------------------------------------------
-    a4 = _coset_evals(a_c, big_n, domain4, ops)
-    b4 = _coset_evals(b_c, big_n, domain4, ops)
-    c4 = _coset_evals(c_c, big_n, domain4, ops)
-    z4 = _coset_evals(z_c, big_n, domain4, ops)
-    zw4 = jnp.roll(z4, -4, axis=1)  # z(omega * x) on the coset (omega = w4^4)
-    ql4 = _coset_evals(pk.ql, big_n, domain4, ops)
-    qr4 = _coset_evals(pk.qr, big_n, domain4, ops)
-    qo4 = _coset_evals(pk.qo, big_n, domain4, ops)
-    qm4 = _coset_evals(pk.qm, big_n, domain4, ops)
-    qc4 = _coset_evals(pk.qc, big_n, domain4, ops)
-    s14 = _coset_evals(pk.s1, big_n, domain4, ops)
-    s24 = _coset_evals(pk.s2, big_n, domain4, ops)
-    s34 = _coset_evals(pk.s3, big_n, domain4, ops)
-
     # PI polynomial: -pub_i at row i, else 0.
     pi_evals = F.from_ints(
         [(-p) % R for p in publics] + [0] * (n - len(publics)), FR
     )
-    pi4 = _coset_evals(ops.intt(pi_evals, domain), big_n, domain4, ops)
+    pi_c = ops.intt(pi_evals, domain)
 
     # L0 = (1/n) * sum X^j.
     n_inv = pow(n, -1, R)
     l0_c = F.from_ints([n_inv] * n, FR)
-    l04 = _coset_evals(l0_c, big_n, domain4, ops)
+
+    # ALL 15 coset transforms as ONE batched dispatch: zero-pad each
+    # coefficient vector to 4n, stack on axis 1, one coset NTT.
+    coset_in = [
+        a_c, b_c, c_c, z_c,
+        pk.ql, pk.qr, pk.qo, pk.qm, pk.qc,
+        pk.s1, pk.s2, pk.s3,
+        pi_c, l0_c,
+    ]
+    stacked = jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, big_n - p.shape[1]))) for p in coset_in], axis=1
+    )  # (16, 14, 4n)
+    ev4 = ops.coset_ntt(stacked, QUOTIENT_SHIFT, domain4)
+    (
+        a4, b4, c4, z4, ql4, qr4, qo4, qm4, qc4, s14, s24, s34, pi4, l04,
+    ) = (ev4[:, i] for i in range(14))
+    zw4 = jnp.roll(z4, -4, axis=1)  # z(omega * x) on the coset (omega = w4^4)
 
     # Coset points x = g * w4^j and Z_H^{-1}(x) (period-4 pattern).
     xs4 = P.scale_poly(domain4.x_powers(), F.from_ints([QUOTIENT_SHIFT], FR))
@@ -345,7 +372,10 @@ def _prove_impl(
     }
     polys = [opened[k] for k in ZETA_OPENING_LABELS]
     with metrics.phase("round4.evals"):
-        evals = [F.to_ints(P.eval_at(p, zeta_d), FR)[0] for p in polys]
+        # ONE batched Horner for all 15 zeta openings, one more for
+        # z(zeta*omega); single host transfer each.
+        eval_arrs = P.eval_many(polys, zeta_d)
+        evals = [F.to_ints(v, FR)[0] for v in eval_arrs]
         z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
 
     for label, v in zip(ZETA_OPENING_LABELS, evals):
