@@ -10,23 +10,25 @@ of gnark v0.8's CPU Pippenger (~1 us/point/core; the reference
 publishes no numbers, BASELINE.md) — so vs_baseline > 1 means faster
 than the reference's engine on its own headline op.
 
-Un-killable by design. Round 1 lost its TPU datapoint to a timeout and
-round 2's first attempt showed why a SIGALRM guard is not enough: the
-alarm handler cannot run while the interpreter is inside a native XLA
-compile (which is exactly where a budget overrun happens). So the
-budget is enforced by a SUPERVISOR process:
+Structure (round-3 redesign after two rounds of timeouts):
 
-  * `python bench.py` = supervisor: spawns `bench.py --worker` in its
-    own process group, polls a partials file the worker appends one
-    JSON line to after every completed section, and at budget (or on
-    SIGTERM/SIGINT from the driver, or on worker exit) emits the final
-    JSON assembled from whatever sections landed, then kills the
-    worker's process group. The supervisor does no JAX work — nothing
-    can wedge it.
-  * `--worker`: runs sections most-valuable-first (MSM headline ->
-    NTT -> field -> end-to-end prove), checks its own soft deadline
-    between sections, and relies on the persistent compilation cache
-    (utils/runtime.setup_jax) so repeated invocations escalate further.
+  * `python bench.py` = supervisor: spawns `bench.py --worker`, polls a
+    partials file, and at budget (or on SIGTERM/SIGINT from the driver,
+    or worker exit) emits the final JSON assembled from whatever
+    sections landed. The supervisor does no JAX work.
+  * `--worker`: NO device compiles before the first timed section.
+    Round 2 died in MSM *base-point setup* (`fixed_base_mul` +
+    `to_affine` compiles); base points now come from a host-side
+    generator cached as an .npz. Sections run smallest-first so 2^12
+    always lands, and the worker checks its own soft deadline between
+    sections.
+  * The worker is NOT SIGKILLed at budget: a kill mid-compile both
+    orphans the remote compile queue (this host routes XLA compiles
+    through a serial relay service) and can poison the persistent
+    compile cache (round 3 traced a segfaulting cache entry to the
+    round-2 kill). The supervisor emits its JSON and exits; the worker
+    receives SIGTERM, finishes (or dies at) the current section, and
+    exits on its own deadline check.
 """
 
 from __future__ import annotations
@@ -41,6 +43,11 @@ import time
 
 BASELINE_MSM_POINTS_PER_SEC = 1.0e6
 BUDGET = float(os.environ.get("NOIRTPU_BENCH_BUDGET", "420"))
+
+POINTS_CACHE = os.environ.get(
+    "NOIRTPU_BENCH_POINTS", "/tmp/noirtpu_bench_points.npz"
+)
+BASE_LOG2 = 12  # 4096 distinct host-generated base points, tiled upward
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +98,11 @@ def supervise() -> int:
 
     if child.poll() is None:
         details["timed_out"] = True
+        # Graceful: the worker traps SIGTERM and exits between device
+        # ops. No SIGKILL — see module docstring (compile-queue orphaning
+        # + cache poisoning).
         try:
-            os.killpg(child.pid, signal.SIGKILL)
+            os.killpg(child.pid, signal.SIGTERM)
         except ProcessLookupError:
             pass
 
@@ -129,10 +139,15 @@ def supervise() -> int:
 
 
 T_START = time.time()
+_TERM = {"flag": False}
 
 
 def remaining() -> float:
     return BUDGET - (time.time() - T_START)
+
+
+def should_stop(margin: float) -> bool:
+    return _TERM["flag"] or remaining() < margin
 
 
 def emit_partial(**kv):
@@ -146,8 +161,43 @@ def emit_partial(**kv):
     print("partial:", line, file=sys.stderr, flush=True)
 
 
+def host_base_points(n: int):
+    """(x, y) Montgomery-form limb arrays of n distinct G1 points,
+    generated on the HOST (1G, 2G, ... by successive affine adds —
+    zero device compiles; the round-2 bench died compiling the device
+    fixed-base path before its first timed section). Cached on disk.
+    """
+    import numpy as np
+
+    if os.path.exists(POINTS_CACHE):
+        try:
+            with np.load(POINTS_CACHE) as z:
+                if z["x"].shape == (16, n):
+                    return z["x"], z["y"]
+        except Exception:  # noqa: BLE001 — regenerate on any cache damage
+            pass
+    from noir_backend_using_gnark_tpu.utils import bigint, hostcurve
+
+    g = hostcurve.g1_generator()
+    pts = []
+    acc = g
+    for _ in range(n):
+        pts.append(acc)
+        acc = hostcurve.g1_add(acc, g)
+    q = bigint.FQ_MODULUS
+    r_mont = (1 << 256) % q
+    xs = bigint.ints_to_limb_array_fast([p[0] * r_mont % q for p in pts])
+    ys = bigint.ints_to_limb_array_fast([p[1] * r_mont % q for p in pts])
+    try:
+        np.savez(POINTS_CACHE, x=xs, y=ys)
+    except OSError:
+        pass
+    return xs, ys
+
+
 def work() -> int:
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    signal.signal(signal.SIGTERM, lambda *_: _TERM.__setitem__("flag", True))
 
     import traceback
 
@@ -161,7 +211,6 @@ def work() -> int:
 
     emit_partial(platform=jax.devices()[0].platform, device=str(jax.devices()[0]))
 
-    from noir_backend_using_gnark_tpu.ops import curve as C
     from noir_backend_using_gnark_tpu.ops import field as F
     from noir_backend_using_gnark_tpu.ops import msm as M
     from noir_backend_using_gnark_tpu.ops import ntt as N
@@ -179,41 +228,37 @@ def work() -> int:
         directly in numpy (top limb truncated to keep < r)."""
         arr = rng.randint(0, 1 << 16, size=(16, n)).astype(np.uint32)
         arr[15] &= 0x2FFF  # < 2^254 < r (conservative truncation)
-        return jax.numpy.asarray(arr)
+        return jnp.asarray(arr)
 
     # ---------------- MSM throughput (headline, runs FIRST) -------------
-    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "20"))
-
-    # Synthetic distinct base points (k*G), tiled to the MSM size: point
-    # *generation* is not what's being measured.
-    base_n = 1 << 12
-    tx, ty = C.generator_powers_table(64)
-    ks = F.from_ints(range(1, base_n + 1), F.FR, to_mont=False)
-    pts_jac = C.fixed_base_mul(tx, ty, ks)
-    bx, by, binf = C.to_affine(pts_jac)
-    sync(bx)
+    base_n = 1 << BASE_LOG2
+    bx_np, by_np = host_base_points(base_n)  # host only — no compiles
     emit_partial(msm_base_setup_sec=round(time.time() - T_START, 1))
 
-    for log2 in (12, 16, 18, 20, 22):
+    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "20"))
+    c_override = os.environ.get("NOIRTPU_BENCH_MSM_C")
+    for log2 in (12, 14, 16, 18, 20, 22):
         if log2 > max_msm:
             break
-        if remaining() < 30:
+        if should_stop(30):
             emit_partial(msm_stopped_early_at=log2)
             break
         try:
             n = 1 << log2
             reps_tile = max(1, n // base_n)
-            px = jnp.tile(bx, (1, reps_tile))[:, :n]
-            py = jnp.tile(by, (1, reps_tile))[:, :n]
-            pinf = jnp.tile(binf, (reps_tile,))[:n]
+            # Host tiling: keeps even the array feed free of compiles.
+            px = jnp.asarray(np.tile(bx_np, (1, reps_tile))[:, :n])
+            py = jnp.asarray(np.tile(by_np, (1, reps_tile))[:, :n])
+            pinf = jnp.zeros((n,), bool)
             points = M.AffineBatch(px, py, pinf)
             scalars = rand_fr_limbs(n)
+            c = int(c_override) if c_override else None
             t0 = time.time()
-            out = M.msm(points, scalars)
+            out = M.msm(points, scalars, c=c)
             sync(out)  # compile + warm
             compile_sec = time.time() - t0
             t0 = time.time()
-            out = M.msm(points, scalars)
+            out = M.msm(points, scalars, c=c)
             sync(out)
             dt = time.time() - t0
             emit_partial(
@@ -229,39 +274,61 @@ def work() -> int:
             traceback.print_exc(file=sys.stderr)
             break
 
-    # ---------------- NTT throughput ------------------------------------
-    max_ntt = int(os.environ.get("NOIRTPU_BENCH_NTT_LOG2", "22"))
+    # ---------------- NTT throughput (scan kernel + MXU kernel) ---------
+    max_ntt = int(os.environ.get("NOIRTPU_BENCH_NTT_LOG2", "20"))
+
+    def bench_ntt(kind, fn, log2):
+        n = 1 << log2
+        coeffs = F.from_mont(rand_fr_limbs(n), F.FR)
+        out = fn(coeffs)
+        sync(out)  # compile + warm
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(out)
+        sync(out)
+        dt = (time.time() - t0) / reps
+        emit_partial(
+            **{
+                f"ntt_{kind}_2e{log2}_sec": round(dt, 5),
+                f"ntt_{kind}_2e{log2}_elems_per_sec": round(n / dt),
+            }
+        )
+
     for log2 in (12, 16, 18, 20, 22):
         if log2 > max_ntt:
             break
-        if remaining() < 20:
+        if should_stop(25):
             emit_partial(ntt_stopped_early_at=log2)
             break
         try:
-            n = 1 << log2
-            coeffs = F.from_mont(rand_fr_limbs(n), F.FR)
-            dom = N.Domain.get(n)
-            out = N.ntt(coeffs, dom)
-            sync(out)  # compile + warm
-            reps = 5
-            t0 = time.time()
-            for _ in range(reps):
-                out = N.ntt(out, dom)
-            sync(out)
-            dt = (time.time() - t0) / reps
-            emit_partial(
-                **{
-                    f"ntt_2e{log2}_sec": round(dt, 5),
-                    f"ntt_2e{log2}_elems_per_sec": round(n / dt),
-                }
-            )
+            dom = N.Domain.get(1 << log2)
+            bench_ntt("scan", lambda a, d=dom: N.ntt(a, d), log2)
         except Exception as e:  # noqa: BLE001
-            emit_partial(**{f"ntt_2e{log2}_error": f"{type(e).__name__}: {e}"})
+            emit_partial(**{f"ntt_scan_2e{log2}_error": f"{type(e).__name__}: {e}"})
             traceback.print_exc(file=sys.stderr)
             break
 
+    if os.environ.get("NOIRTPU_BENCH_MXU", "1") != "0":
+        from noir_backend_using_gnark_tpu.ops import mxu_ntt
+
+        for log2 in (12, 16, 18, 20):
+            if log2 > max_ntt:
+                break
+            if should_stop(25):
+                emit_partial(ntt_mxu_stopped_early_at=log2)
+                break
+            try:
+                bench_ntt("mxu", mxu_ntt.ntt_mxu, log2)
+            except Exception as e:  # noqa: BLE001
+                emit_partial(
+                    **{f"ntt_mxu_2e{log2}_error": f"{type(e).__name__}: {e}"}
+                )
+                traceback.print_exc(file=sys.stderr)
+                break
+
     # ---------------- Field throughput (cheap) --------------------------
-    if remaining() > 10:
+    if not should_stop(15):
         try:
             n = 1 << 20
             a = rand_fr_limbs(n)
@@ -278,7 +345,7 @@ def work() -> int:
             emit_partial(fr_mul_error=f"{type(e).__name__}: {e}")
 
     # ---------------- End-to-end proof -----------------------------------
-    if remaining() > 30:
+    if not should_stop(40):
         try:
             from noir_backend_using_gnark_tpu.acir import lowering, parse, solver
             from noir_backend_using_gnark_tpu.kzg import kzg

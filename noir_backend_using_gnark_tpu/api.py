@@ -101,6 +101,18 @@ class Backend:
 
     # -- the 4 proving operations ---------------------------------------
 
+    def _require_bn254(self, op: str) -> None:
+        """Proving needs the G1/pairing engine, which is bn254-only —
+        faithfully matching the reference, whose bls12_381 feature has
+        no Go-side counterpart (main.go:16-21 imports only bn254; see
+        config.Config.validate). Fr-level ops (codecs, witness math)
+        work for either curve."""
+        if self.config.curve != "bn254":
+            raise BackendError(
+                f"{op}: proving is bn254-only (curve={self.config.curve!r}; "
+                "the reference's bls12_381 feature is felt-codec-only too)"
+            )
+
     def preprocess(self, circuit: model.Circuit) -> tuple[bytes, bytes]:
         """ACIR -> (pk bytes, vk bytes) (backend.rs:81-83).
 
@@ -154,7 +166,11 @@ class Backend:
                 )
             assignment = lowering.build_assignment(pc, [v % R for v in values])
             proof = plonk_prove.prove(
-                pk, assignment, self.config.prover_seed, mesh=self.mesh()
+                pk,
+                assignment,
+                self.config.prover_seed,
+                mesh=self.mesh(),
+                protocol=self.config.proof_format,
             )
             return artifacts.proof_to_bytes(proof)
 

@@ -242,6 +242,17 @@ def _pack_felt(v: int) -> bytes:
 
 
 def proof_to_bytes(proof) -> bytes:
+    """Serialize either proof layout.
+
+    gnark-protocol proofs (formats.gnark.GnarkProof) serialize as RAW
+    gnark v0.8 ``WriteTo`` blobs — no NTPU magic — exactly the bytes
+    the reference moves across its FFI (helpers.go:75-80). Expanded
+    proofs use the magic-tagged NTPU container.
+    """
+    from .formats import gnark as gnark_fmt
+
+    if isinstance(proof, gnark_fmt.GnarkProof):
+        return gnark_fmt.proof_to_gnark_bytes(proof)
     out = [PROOF_MAGIC]
     for pt in (proof.a, proof.b, proof.c, proof.z, proof.t0, proof.t1, proof.t2):
         out.append(g1_compress(pt))
@@ -256,9 +267,14 @@ def proof_to_bytes(proof) -> bytes:
 def proof_from_bytes(data: bytes):
     from .plonk.keys import Proof
 
+    if data[:8] != PROOF_MAGIC:
+        # No NTPU magic: parse as a raw gnark v0.8 proof blob (the
+        # gnark container has no magic of its own; its fixed-layout
+        # point/count structure is validated by the codec).
+        from .formats import gnark as gnark_fmt
+
+        return gnark_fmt.proof_from_gnark_bytes(data)
     try:
-        if data[:8] != PROOF_MAGIC:
-            raise ValueError("bad proof magic")
         off = 8
         pts = []
         for _ in range(7):

@@ -18,6 +18,11 @@ from typing import Optional
 class Config:
     curve: str = "bn254"  # only curve; reference's bls12_381 flag descoped (README)
     scheme: str = "plonk"  # or "groth16"
+    # PLONK proof protocol/layout: "gnark" = gnark v0.8 linearized
+    # openings + gnark transcript, serialized as raw gnark WriteTo
+    # blobs (the reference's artifact format, helpers.go:75-80);
+    # "expanded" = our 15-opening layout in the NTPU container.
+    proof_format: str = "gnark"
     # SRS cache: mirrors $XDG_CONFIG/noir-lang/srs.hex (common.go:78-84).
     srs_path: Optional[str] = None
     # SRS size when generating. The reference hardcodes 1_000_000
@@ -31,16 +36,24 @@ class Config:
     mesh_axis_names: tuple = ("shard",)
 
     def validate(self):
-        if self.curve != "bn254":
-            # The reference's bls12_381 cargo feature is DESCOPED here
-            # (documented in README "Curve support"): the limb layout
-            # and two-adicity constants are BN254-specific today.
-            raise ValueError(
-                f"unsupported curve {self.curve!r}: bn254 only "
-                "(bls12_381 descoped — see README)"
-            )
+        if self.curve not in ("bn254", "bls12_381"):
+            raise ValueError(f"unsupported curve {self.curve!r}")
+        if self.curve == "bls12_381":
+            # Mirrors the reference's ACTUAL bls12_381 capability: the
+            # cargo feature (Cargo.toml:33-36) swaps only the Rust-side
+            # Fr felt conversion (src/gnark_backend_wrapper/mod.rs:
+            # 13-33), while every FFI call lands in a Go backend
+            # hard-wired to bn254 (gnark_backend_ffi/main.go:16-21) —
+            # so proving over BLS12-381 does not exist upstream either.
+            # Here: Fr arithmetic/codecs/NTT domains work (ops/field.
+            # BLS_FR, utils/bigint BLS_FR_* constants); the proving
+            # pipeline raises in api.Backend (381-bit Fq is outside the
+            # 16x16 limb scheme the G1/pairing engine is built on).
+            pass
         if self.scheme not in ("plonk", "groth16"):
             raise ValueError(f"unknown scheme {self.scheme}")
+        if self.proof_format not in ("gnark", "expanded"):
+            raise ValueError(f"unknown proof_format {self.proof_format}")
         return self
 
 

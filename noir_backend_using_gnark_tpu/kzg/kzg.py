@@ -94,9 +94,20 @@ def commit(srs: SRS, coeffs: jax.Array, mesh=None) -> C.JacobianPoint:
     scalars are partitioned across the mesh and per-device bucket
     tables are folded with an all_gather (parallel/dist_msm.py).
     """
+    import jax.numpy as jnp
+
     n = coeffs.shape[1]
     if n > srs.size:
         raise ValueError(f"polynomial degree {n - 1} exceeds SRS size {srs.size}")
+    # Pad to a power-of-two size class (zero scalars contribute nothing
+    # to the MSM): a prove emits polys of several near-identical lengths
+    # (n+2 wires, n+3 z, quotient chunks...) and every distinct length
+    # would otherwise compile its own MSM module — ~1.3 s per module
+    # even warm on this host, and a fresh XLA compile on a cold TPU.
+    n_class = min(srs.size, max(64, 1 << (n - 1).bit_length()))
+    if n < n_class:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, n_class - n)))
+        n = n_class
     points = M.AffineBatch(
         srs.g1_powers.x[:, :n], srs.g1_powers.y[:, :n], srs.g1_powers.inf[:n]
     )

@@ -67,6 +67,9 @@ def make_field_spec(name: str, modulus: int) -> FieldSpec:
 
 FR = make_field_spec("bn254_fr", bigint.FR_MODULUS)
 FQ = make_field_spec("bn254_fq", bigint.FQ_MODULUS)
+# BLS12-381 scalar field (255-bit, fits the 16x16 limb scheme) — the
+# reference's bls12_381 cargo feature surface; see utils/bigint.py.
+BLS_FR = make_field_spec("bls12_381_fr", bigint.BLS_FR_MODULUS)
 
 
 # ---------------------------------------------------------------------------

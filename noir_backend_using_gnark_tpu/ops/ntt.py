@@ -58,6 +58,25 @@ def powers_of(base: jax.Array, n: int, spec: F.FieldSpec) -> jax.Array:
     return jax.lax.associative_scan(functools.partial(F.mont_mul, spec=spec), seq, axis=1)
 
 
+def _cache_dev(obj, attr: str, build):
+    """Populate ``obj.attr`` with a device array, tracer-safe.
+
+    Domain tables are built lazily, and the first touch can happen
+    *inside* a jit/shard_map trace (e.g. parallel/dist_ntt.four_step
+    calling ``Domain.fwd_table`` while tracing). ``jnp.asarray`` then
+    yields a trace-local tracer; caching it leaks it into every later
+    trace (UnexpectedTracerError in the round-3 multichip dryrun). So:
+    return the value either way, but only cache concrete arrays.
+    """
+    cur = getattr(obj, attr)
+    if cur is not None:
+        return cur
+    val = jnp.asarray(build())
+    if not isinstance(val, jax.core.Tracer):
+        setattr(obj, attr, val)
+    return val
+
+
 def bit_reverse_perm(n: int) -> np.ndarray:
     """Bit-reversal permutation indices for size n = 2^k (host, static)."""
     k = n.bit_length() - 1
@@ -95,6 +114,7 @@ class Domain:
         self._fwd_table = None
         self._inv_table = None
         self._n_inv_dev = None
+        self._x_powers = None
 
     @classmethod
     def get(cls, n: int) -> "Domain":
@@ -103,42 +123,47 @@ class Domain:
         return cls._cache[n]
 
     def rev_dev(self) -> jax.Array:
-        if self._rev_dev is None:
-            self._rev_dev = jnp.asarray(self.rev)
-        return self._rev_dev
+        return _cache_dev(self, "_rev_dev", lambda: self.rev)
 
     def fwd_table(self) -> jax.Array:
         # Host-side power chain (bigint.power_table): one device compile
         # of the scan kernel costs 10-60 s on this relay host; the host
         # chain is ~0.5 us/element and needs no compile at all.
-        if self._fwd_table is None:
-            self._fwd_table = jnp.asarray(
-                bigint.power_table(self.w_int, max(self.n // 2, 1), self.spec.modulus)
-            )
-        return self._fwd_table
+        return _cache_dev(
+            self,
+            "_fwd_table",
+            lambda: bigint.power_table(
+                self.w_int, max(self.n // 2, 1), self.spec.modulus
+            ),
+        )
 
     def inv_table(self) -> jax.Array:
-        if self._inv_table is None:
-            self._inv_table = jnp.asarray(
-                bigint.power_table(
-                    self.w_inv_int, max(self.n // 2, 1), self.spec.modulus
-                )
-            )
-        return self._inv_table
+        return _cache_dev(
+            self,
+            "_inv_table",
+            lambda: bigint.power_table(
+                self.w_inv_int, max(self.n // 2, 1), self.spec.modulus
+            ),
+        )
 
     def x_powers(self) -> jax.Array:
         """[w^0 .. w^{n-1}] (16, n) Montgomery — the domain points
         themselves (host-generated, cached)."""
-        if getattr(self, "_x_powers", None) is None:
-            self._x_powers = jnp.asarray(
-                bigint.power_table(self.w_int, self.n, self.spec.modulus)
-            )
-        return self._x_powers
+        return _cache_dev(
+            self,
+            "_x_powers",
+            lambda: bigint.power_table(self.w_int, self.n, self.spec.modulus),
+        )
 
     def n_inv_dev(self) -> jax.Array:
-        if self._n_inv_dev is None:
-            self._n_inv_dev = F.from_ints([self.n_inv_int], FR)
-        return self._n_inv_dev
+        p = self.spec.modulus
+        return _cache_dev(
+            self,
+            "_n_inv_dev",
+            lambda: bigint.ints_to_limb_array(
+                [self.n_inv_int * ((1 << 256) % p) % p]
+            ),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +281,10 @@ class _CosetScale:
         key = (shift_int, n, inverse)
         if key not in cls._cache:
             base_int = pow(shift_int, -1, FR.modulus) if inverse else shift_int
-            cls._cache[key] = jnp.asarray(
-                bigint.power_table(base_int, n, FR.modulus)
-            )
+            val = jnp.asarray(bigint.power_table(base_int, n, FR.modulus))
+            if isinstance(val, jax.core.Tracer):
+                return val  # trace-local: do not cache (see _cache_dev)
+            cls._cache[key] = val
         return cls._cache[key]
 
 

@@ -108,12 +108,8 @@ class _TransformOps:
 
     def intt(self, evals: jax.Array, domain: N.Domain) -> jax.Array:
         if self._dist_ok(evals.shape[-1]):
-            if evals.ndim > 2:  # batched: distribute each slice
-                cols = [
-                    self._dn.four_step(evals[:, i], self.mesh, inverse=True)
-                    for i in range(evals.shape[1])
-                ]
-                return jnp.stack(cols, axis=1)
+            # four_step transforms along the last axis with any batch
+            # axes in the middle — batched polys stay ONE dispatch.
             return self._dn.four_step(evals, self.mesh, inverse=True)
         return N.intt(evals, domain)
 
@@ -121,12 +117,6 @@ class _TransformOps:
         n = coeffs.shape[-1]
         if self._dist_ok(n):
             scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
-            if scaled.ndim > 2:
-                cols = [
-                    self._dn.four_step(scaled[:, i], self.mesh)
-                    for i in range(scaled.shape[1])
-                ]
-                return jnp.stack(cols, axis=1)
             return self._dn.four_step(scaled, self.mesh)
         return N.coset_ntt(coeffs, shift, domain)
 
@@ -151,7 +141,8 @@ def prove(
     assignment_ints: list,
     rng_seed: bytes | None = None,
     mesh=None,
-) -> Proof:
+    protocol: str = "expanded",
+):
     """Generate a PLONK proof for the cs-variable assignment.
 
     ``assignment_ints``: host ints, publics first (lowering order).
@@ -162,16 +153,25 @@ def prove(
     all_to_all decomposition) and every KZG commitment MSM (distributed
     bucket accumulation) across the mesh devices. Proof bytes match the
     single-chip path for the same seed.
+    ``protocol``: "expanded" (our 15-opening layout, keys.Proof) or
+    "gnark" (gnark v0.8 linearized openings + gnark transcript,
+    formats.gnark.GnarkProof — see plonk/gnark_protocol.py).
     """
     with metrics.phase("plonk.prove"), metrics.profiler_trace("prove"):
         metrics.count("prove.calls")
         metrics.gauge("prove.domain_n", pk.n)
-        return _prove_impl(pk, assignment_ints, rng_seed, _TransformOps(mesh))
+        return _prove_impl(
+            pk, assignment_ints, rng_seed, _TransformOps(mesh), protocol
+        )
 
 
 def _prove_impl(
-    pk: ProvingKey, assignment_ints: list, rng_seed: bytes | None, ops: _TransformOps
-) -> Proof:
+    pk: ProvingKey,
+    assignment_ints: list,
+    rng_seed: bytes | None,
+    ops: _TransformOps,
+    protocol: str = "expanded",
+):
     n = pk.n
     domain = N.Domain.get(n)
     big_n = 4 * n
@@ -218,15 +218,30 @@ def _prove_impl(
         com_b = ops.commit(pk.srs, b_c)
         com_c = ops.commit(pk.srs, c_c)
 
-    ts = Transcript("noirtpu-plonk-v1")
-    ts.absorb(b"n", pk.n.to_bytes(8, "big"))
-    for p in publics:
-        ts.absorb_felt(b"public", p)
-    ts.absorb_point(b"a", com_a)
-    ts.absorb_point(b"b", com_b)
-    ts.absorb_point(b"c", com_c)
-    beta = ts.challenge(b"beta")
-    gamma = ts.challenge(b"gamma")
+    if protocol == "gnark":
+        from . import gnark_protocol as GP
+
+        if pk.vk is None:
+            raise ProvingError("gnark protocol requires pk.vk (public data binding)")
+        ts = None
+        gts = GP.GnarkTranscript(("gamma", "beta", "alpha", "zeta"))
+        GP.bind_public_data(gts, "gamma", pk.vk, publics)
+        # gnark order: gamma FIRST (bound to public data + LRO), then
+        # beta chained with no extra bindings (bn254/plonk prove.go).
+        gamma = GP.derive_randomness(gts, "gamma", (com_a, com_b, com_c))
+        beta = GP.derive_randomness(gts, "beta")
+    elif protocol == "expanded":
+        ts = Transcript("noirtpu-plonk-v1")
+        ts.absorb(b"n", pk.n.to_bytes(8, "big"))
+        for p in publics:
+            ts.absorb_felt(b"public", p)
+        ts.absorb_point(b"a", com_a)
+        ts.absorb_point(b"b", com_b)
+        ts.absorb_point(b"c", com_c)
+        beta = ts.challenge(b"beta")
+        gamma = ts.challenge(b"gamma")
+    else:
+        raise ProvingError(f"unknown proof protocol {protocol!r}")
 
     # ---- Round 2: permutation grand product ---------------------------
     xs = domain.x_powers()  # omega^i (host-generated, cached)
@@ -257,8 +272,11 @@ def _prove_impl(
             ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
         )
         com_z = ops.commit(pk.srs, z_c)
-    ts.absorb_point(b"z", com_z)
-    alpha = ts.challenge(b"alpha")
+    if protocol == "gnark":
+        alpha = GP.derive_randomness(gts, "alpha", (com_z,))
+    else:
+        ts.absorb_point(b"z", com_z)
+        alpha = ts.challenge(b"alpha")
 
     # ---- Round 3: quotient --------------------------------------------
     # PI polynomial: -pub_i at row i, else 0.
@@ -344,6 +362,28 @@ def _prove_impl(
         com_t0 = ops.commit(pk.srs, t0_c)
         com_t1 = ops.commit(pk.srs, t1_c)
         com_t2 = ops.commit(pk.srs, t2_c)
+    if protocol == "gnark":
+        zeta = GP.derive_randomness(gts, "zeta", (com_t0, com_t1, com_t2))
+        with metrics.phase("round45.gnark_openings"):
+            return GP.finish_prove(
+                pk,
+                ops,
+                publics,
+                beta,
+                gamma,
+                alpha,
+                zeta,
+                com_a,
+                com_b,
+                com_c,
+                com_z,
+                (com_t0, com_t1, com_t2),
+                a_c,
+                b_c,
+                c_c,
+                z_c,
+                (t0_c, t1_c, t2_c),
+            )
     ts.absorb_point(b"t0", com_t0)
     ts.absorb_point(b"t1", com_t1)
     ts.absorb_point(b"t2", com_t2)

@@ -22,7 +22,19 @@ from .transcript import Transcript
 R = bigint.FR_MODULUS
 
 
-def verify(vk: VerifyingKey, proof: Proof, public_inputs: list) -> bool:
+def verify(vk: VerifyingKey, proof, public_inputs: list) -> bool:
+    """Verify either proof layout: expanded (keys.Proof) or gnark v0.8
+    linearized (formats.gnark.GnarkProof) — dispatched on type."""
+    from ..formats.gnark import GnarkProof
+
+    if isinstance(proof, GnarkProof):
+        from . import gnark_protocol
+
+        return gnark_protocol.verify(vk, proof, public_inputs)
+    return _verify_expanded(vk, proof, public_inputs)
+
+
+def _verify_expanded(vk: VerifyingKey, proof: Proof, public_inputs: list) -> bool:
     n = vk.n
     omega = vk.generator
     publics = [p % R for p in public_inputs]

@@ -55,6 +55,25 @@ G2_GENERATOR_Y = (
     4082367875863433681332203403145435568316851327593401208105741076214120093531,
 )
 
+# ---------------------------------------------------------------------------
+# BLS12-381 scalar-field constants (reference cargo feature `bls12_381`,
+# Cargo.toml:33-36 / src/gnark_backend_wrapper/mod.rs:13-33). The
+# feature's WORKING surface in the reference is exactly the Fr felt
+# layer: mod.rs selects ark-bls12-381 Fr for `from_felt`/serialization,
+# while the Go backend it calls is hard-wired to bn254
+# (gnark_backend_ffi/main.go:16-21 imports only bn254 packages), so no
+# curve/pairing path exists for it upstream either. We mirror that:
+# BLS12-381 Fr arithmetic + codecs + NTT domains are supported;
+# proving over BLS12-381 raises (see config.Config.validate).
+# ---------------------------------------------------------------------------
+
+BLS_FR_MODULUS = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+BLS_FR_TWO_ADICITY = 32
+BLS_FR_MULTIPLICATIVE_GENERATOR = 7
+BLS_FR_ROOT_OF_UNITY = pow(
+    7, (BLS_FR_MODULUS - 1) >> BLS_FR_TWO_ADICITY, BLS_FR_MODULUS
+)
+
 # Limb scheme: 16 limbs x 16 bits (little-endian), totaling 256 bits.
 LIMB_BITS = 16
 NUM_LIMBS = 16

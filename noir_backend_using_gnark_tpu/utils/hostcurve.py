@@ -77,7 +77,16 @@ def g1_neg(pt):
 
 
 def g1_mul(pt, k: int):
-    k %= R
+    """k * pt by double-and-add, exact for any integer k.
+
+    Deliberately does NOT reduce k mod r: for points outside the
+    r-torsion (possible on the twist; G1 itself has cofactor 1),
+    ``mul(pt, r)`` must compute the true multiple so subgroup checks
+    like ``g2_mul(pt, R) is None`` are meaningful. Callers with
+    in-subgroup points may pre-reduce for speed.
+    """
+    if k < 0:
+        return g1_neg(g1_mul(pt, -k))
     acc = None
     add = pt
     while k:
@@ -281,7 +290,17 @@ def g2_neg(pt):
 
 
 def g2_mul(pt, k: int):
-    k %= R
+    """k * pt by double-and-add, exact for any integer k.
+
+    No ``k %= R``: E'(Fq2) has a large cofactor, so scalar reduction
+    mod r is only valid for r-torsion points. Reducing here made
+    ``g2_mul(pt, R)`` vacuously None for EVERY point and turned the
+    r-torsion membership checks in artifacts/formats into no-ops
+    (round-2 security bug) — any on-curve twist point, including
+    small-subgroup points, was accepted into pairing inputs.
+    """
+    if k < 0:
+        return g2_neg(g2_mul(pt, -k))
     acc = None
     add = pt
     while k:
@@ -290,6 +309,16 @@ def g2_mul(pt, k: int):
         add = g2_add(add, add)
         k >>= 1
     return acc
+
+
+def g2_in_subgroup(pt) -> bool:
+    """r-torsion membership on the twist: on-curve and r*pt == O.
+
+    Matches gnark's deserialization semantics (gnark G2 ``ReadFrom``
+    subgroup-checks; reference consumes it via
+    gnark_backend_ffi/internal/backend/helpers.go:49-73).
+    """
+    return g2_is_on_curve(pt) and g2_mul(pt, R) is None
 
 
 # ---------------------------------------------------------------------------
