@@ -235,9 +235,9 @@ def work() -> int:
     bx_np, by_np = host_base_points(base_n)  # host only — no compiles
     emit_partial(msm_base_setup_sec=round(time.time() - T_START, 1))
 
-    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "20"))
+    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "22"))
     c_override = os.environ.get("NOIRTPU_BENCH_MSM_C")
-    for log2 in (12, 14, 16, 18, 20, 22):
+    for log2 in (12, 16, 20, 22):
         if log2 > max_msm:
             break
         if should_stop(30):
@@ -295,7 +295,7 @@ def work() -> int:
             }
         )
 
-    for log2 in (12, 16, 18, 20, 22):
+    for log2 in (16, 20):
         if log2 > max_ntt:
             break
         if should_stop(25):
@@ -312,7 +312,7 @@ def work() -> int:
     if os.environ.get("NOIRTPU_BENCH_MXU", "1") != "0":
         from noir_backend_using_gnark_tpu.ops import mxu_ntt
 
-        for log2 in (12, 16, 18, 20):
+        for log2 in (16, 20):
             if log2 > max_ntt:
                 break
             if should_stop(25):

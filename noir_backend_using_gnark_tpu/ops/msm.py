@@ -69,15 +69,17 @@ def affine_from_ints(points) -> AffineBatch:
 
 
 def default_window_bits(n: int) -> int:
-    """Window size heuristic.
+    """Window size default, backed by round-3 TPU measurements.
 
-    c=8 keeps the bucket tables small enough that the lane-fold phase
-    (W*L*B adds) stays well under the accumulation phase (W*N adds)
-    across the whole 2^10..2^24 range; larger c would shrink W but blow
-    up lane-private bucket memory (W * L * 2^{c-1} points).
+    On a v5e at 2^16 points, lanes=256: c=3 -> 52.1k pts/s, c=4 ->
+    51.7k, c=5 -> 38.7k, c=6 -> 24.0k, c=8 -> 8.2k. The per-step
+    bucket-table traffic (2 * W*L*B slots) and the B-way select chains
+    dominate the W*N mixed adds on this path, so SMALL windows win —
+    the opposite of the CPU add-count heuristic that picked c=8 in
+    round 2. c=4 also keeps the unrolled select graph ~14x smaller,
+    which the XLA CPU pipeline needs (the B=129 c=8 graph triggered
+    compiler segfaults in long test processes).
     """
-    if n >= (1 << 10):
-        return 8
     return 4
 
 
@@ -127,18 +129,20 @@ def signed_digits(scalars: jax.Array, c: int, num_w: int):
 
 
 def _lanes_for(n: int, c: int, mem_budget: int = 1 << 27) -> int:
-    """Lanes per window: enough steps to amortize, bounded by the
-    bucket-table memory budget (bytes) and by fold work W*L*B << W*N.
+    """Lanes per window, capped at 256 by round-3 TPU measurements.
 
-    The budget is the *live table* size; XLA holds several temporary
-    copies of the scan carry (remat + double buffering), so 128 MB of
-    tables keeps peak HBM ~1 GB (round-2 lesson: a 512 MB budget OOMed
-    a 16 GB chip at 2^18 with 29 GB of temps)."""
+    Measured on a v5e (c=4): 2^16 L=256 -> 51.7k pts/s vs L=1024 ->
+    11.9k; 2^20 L=256 -> 106k vs L=1024 -> 69k. Larger lane counts
+    scale the per-step bucket table (and the Hillis-Steele lane fold's
+    B*W*L*log L adds) faster than they save scan steps. The memory
+    budget still bounds tiny-c tables (XLA holds several temporary
+    copies of the scan carry; round-2 lesson: a 512 MB budget OOMed a
+    16 GB chip at 2^18 with 29 GB of temps)."""
     nbuckets = (1 << (c - 1)) + 1
     w = num_windows(c)
     by_mem = mem_budget // (192 * w * nbuckets)  # 3 coords * 16 limbs * 4 B
     by_work = max(1, n // 256)
-    lanes = max(1, min(by_mem, by_work, n))
+    lanes = max(1, min(by_mem, by_work, n, 256))
     return 1 << (lanes.bit_length() - 1)  # power of two, rounded down
 
 
@@ -230,20 +234,26 @@ def accumulate_buckets(
     magr = jnp.moveaxis(mags.reshape(w_count, t_steps, lanes), 1, 0)  # (T, W, L)
     negr = jnp.moveaxis(negs.reshape(w_count, t_steps, lanes), 1, 0)
 
-    buckets = C.infinity((w_count, lanes, nb))
+    # Bucket-MAJOR table (16, B, W, L): the lane axis must be the
+    # minor-most dimension so the TPU's 128-wide vector registers tile
+    # it densely. Round 3 measured the bucket-minor layout (16,W,L,B)
+    # at ~4x slower with large L — B=9/17 as the minor dim forces
+    # padded, strided vector accesses on every table touch.
+    buckets = C.infinity((nb, w_count, lanes))
 
     def step(bk, xs):
         # One-hot bucket access: TPU lanes cannot scatter/gather to
         # per-lane addresses (XLA serializes them — measured ~100x off
         # peak), so the read and the writeback are B-way vectorized
-        # SELECTS over the small bucket axis instead. Extra work is
-        # O(B) cheap selects per EC add; everything stays on the VPU.
+        # SELECTS over the small (major) bucket axis instead. Extra
+        # work is O(B) cheap selects per EC add; everything stays on
+        # the VPU with dense (W, L) tiles.
         px_t, py_t, pinf_t, mag_t, neg_t = xs
         d = mag_t.astype(jnp.int32)  # (W, L)
-        cur = jax.tree_util.tree_map(lambda a: a[..., 0], bk)
+        cur = jax.tree_util.tree_map(lambda a: a[:, 0], bk)
         for b in range(1, nb):
             cur = C.select_point(
-                d == b, jax.tree_util.tree_map(lambda a: a[..., b], bk), cur
+                d == b, jax.tree_util.tree_map(lambda a: a[:, b], bk), cur
             )
         qx = jnp.broadcast_to(px_t[:, None, :], (16, w_count, lanes))
         qy = jnp.broadcast_to(py_t[:, None, :], (16, w_count, lanes))
@@ -251,25 +261,23 @@ def accumulate_buckets(
         qinf = jnp.broadcast_to(pinf_t[None, :], (w_count, lanes)) | (mag_t == 0)
         new = C.add_mixed(cur, qx, qy, qinf)
         hit = jax.lax.broadcasted_iota(
-            jnp.int32, (w_count, lanes, nb), 2
-        ) == d[..., None]
+            jnp.int32, (nb, w_count, lanes), 0
+        ) == d[None]
         bk = C.JacobianPoint(
-            jnp.where(hit[None], new.x[..., None], bk.x),
-            jnp.where(hit[None], new.y[..., None], bk.y),
-            jnp.where(hit[None], new.z[..., None], bk.z),
+            jnp.where(hit[None], new.x[:, None], bk.x),
+            jnp.where(hit[None], new.y[:, None], bk.y),
+            jnp.where(hit[None], new.z[:, None], bk.z),
         )
         return bk, None
 
     buckets, _ = jax.lax.scan(step, buckets, (pxr, pyr, pinfr, magr, negr))
 
-    # Lane fold: (16, W, L, B) -> (16, W, B). Move lanes to the last
-    # axis and run the constant-shape suffix scan (log2(L) steps under
-    # lax.scan, ONE group-law instantiation); element 0 is the lane
-    # total. The earlier halving tree instantiated the group law at
-    # log2(L) *different* shapes, bloating the compile on this host.
-    swapped = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 2, 3), buckets)
-    summed = _suffix_scan_points(swapped)  # (16, W, B, L), totals at [..., 0]
-    return jax.tree_util.tree_map(lambda a: a[..., 0], summed)  # (16, W, B)
+    # Lane fold: (16, B, W, L) -> (16, W, B). The suffix scan runs
+    # along the (minor, dense) lane axis directly — log2(L) steps under
+    # lax.scan, ONE group-law instantiation; element 0 is the total.
+    summed = _suffix_scan_points(buckets)  # (16, B, W, L), totals at [..., 0]
+    folded = jax.tree_util.tree_map(lambda a: a[..., 0], summed)  # (16, B, W)
+    return jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 1, 2), folded)
 
 
 def msm_kernel(
@@ -288,6 +296,33 @@ def msm_kernel(
 
 _msm_jit = jax.jit(msm_kernel, static_argnames=("c", "lanes"))
 
+#: Cached platform string for the Pallas-vs-XLA dispatch.
+_PLATFORM = None
+
+
+def _use_pallas(n: int) -> bool:
+    """Route big MSMs through the Pallas VMEM-resident bucket kernel on
+    TPU (ops/msm_pallas): measured 756k pts/s at 2^20 vs 106k for the
+    XLA scan path (v5e, c=6/c=4 respectively). Small sizes stay on the
+    XLA path — both are dispatch-latency-bound there and the XLA
+    kernel's compile is cheaper. NOIRTPU_MSM_IMPL=xla|pallas overrides."""
+    import os
+
+    mode = os.environ.get("NOIRTPU_MSM_IMPL", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    if n < (1 << 13):
+        return False
+    global _PLATFORM
+    if _PLATFORM is None:
+        try:
+            _PLATFORM = jax.devices()[0].platform
+        except Exception:  # noqa: BLE001
+            _PLATFORM = "unknown"
+    return _PLATFORM == "tpu"
+
 
 # ---------------------------------------------------------------------------
 # Public API
@@ -303,10 +338,21 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     n = points.n
     if scalars.shape[-1] != n:
         raise ValueError("points/scalars length mismatch")
+    px, py, pinf = points.x, points.y, points.inf
+    if _use_pallas(n):
+        from . import msm_pallas
+
+        cp = c or 6  # measured best under the VMEM-resident kernel
+        pad = (-n) % msm_pallas.LANES
+        if pad:
+            px = jnp.pad(px, ((0, 0), (0, pad)))
+            py = jnp.pad(py, ((0, 0), (0, pad)))
+            pinf = jnp.pad(pinf, ((0, pad)), constant_values=True)
+            scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+        return msm_pallas.msm_pallas(px, py, pinf, scalars, cp)
     c = c or default_window_bits(n)
     lanes = _lanes_for(n, c)
     pad = (-n) % lanes
-    px, py, pinf = points.x, points.y, points.inf
     if pad:
         px = jnp.pad(px, ((0, 0), (0, pad)))
         py = jnp.pad(py, ((0, 0), (0, pad)))

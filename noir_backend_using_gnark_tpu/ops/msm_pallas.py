@@ -1,0 +1,404 @@
+"""Pallas TPU kernel for Pippenger bucket accumulation.
+
+Round-3 measurements located the MSM bottleneck: the XLA scan path runs
+each mixed add as ~6 grouped mont_mul instantiations whose ~160
+intermediate vectors spill to HBM (measured 4.3 ms per 16k-lane add
+step — HBM-bound at ~30x off VPU peak), and every scan step rewrites
+the whole bucket table through HBM. This kernel fixes both:
+
+  * the bucket table lives in VMEM for the WHOLE accumulation (a
+    Pallas grid whose output block index is constant along the step
+    dimension, so Mosaic keeps it resident and writes it back once);
+  * the field arithmetic is expressed limb-by-limb as Python lists of
+    (Wc, L) uint32 tiles — every op is a single dense (8, 128)-aligned
+    VPU op, intermediates stay in registers/VMEM, and there are no
+    concatenates to break fusion.
+
+Layout:
+  * L = 128 points are consumed per grid step (the lane axis);
+  * windows are processed in groups of Wc = 8 (the sublane axis), so
+    every field op runs on a full (8, 128) uint32 tile;
+  * the bucket table is one output of shape (Wg, 48, B, Wc, L) —
+    48 = 3 Jacobian coords x 16 limbs, B = 2^{c-1}+1 signed-digit
+    buckets. Grid = (Wg, T) with T inner: each window group streams
+    all T point slices while its table slab stays in VMEM.
+    VMEM budget (c=6): 48*33*8*128*4 B = 6.5 MB.
+
+The scalar recoding (signed c-bit digits), the lane/bucket folds and
+the window join stay in XLA (ops/msm.py) — they are a tiny fraction of
+the work.
+
+Replaces the accumulation phase of gnark-crypto's ``MultiExp``
+(the engine under the reference's ``plonk.Prove``,
+gnark_backend_ffi/backend/plonk/plonk.go:53-73; SURVEY §3.1 (b)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import bigint
+from . import curve as C
+from . import field as F
+
+FQ = F.FQ
+MASK = np.uint32(0xFFFF)
+LIMB_BITS = np.uint32(16)
+NL = 16  # limbs per field element
+
+#: Points per grid step == the lane (minor) axis of every tile.
+LANES = 128
+#: Windows per group == the sublane axis of every tile.
+WC = 8
+
+_P_LIMBS = tuple(np.uint32(l) for l in FQ.p_limbs)
+_N0 = np.uint32(FQ.n0)
+_ONE_MONT = tuple(np.uint32(l) for l in FQ.r_mod_p)
+
+
+# ---------------------------------------------------------------------------
+# Limb-list field ops (each limb is a (Wc, L) uint32 tile)
+# ---------------------------------------------------------------------------
+
+
+def _zeros_like(a):
+    return [jnp.zeros_like(a[0]) for _ in range(NL)]
+
+
+def _const_ll(limbs, ref):
+    return [jnp.full_like(ref, np.uint32(l)) for l in limbs]
+
+
+def _select_ll(cond, a, b):
+    return [jnp.where(cond, ai, bi) for ai, bi in zip(a, b)]
+
+
+def _is_zero_ll(a):
+    acc = a[0] == 0
+    for i in range(1, NL):
+        acc = acc & (a[i] == 0)
+    return acc
+
+
+def _sub_chain(a, b):
+    """a - b limbwise with borrow; returns (limbs, borrow)."""
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for ai, bi in zip(a, b):
+        s = ai + jnp.uint32(1 << 16) - bi - borrow
+        out.append(s & MASK)
+        borrow = jnp.uint32(1) - (s >> LIMB_BITS)
+    return out, borrow
+
+
+def _add_mod(a, b):
+    """(a + b) mod p on strictly-reduced inputs."""
+    s, carry = [], jnp.zeros_like(a[0])
+    for ai, bi in zip(a, b):
+        t = ai + bi + carry
+        s.append(t & MASK)
+        carry = t >> LIMB_BITS
+    p = [jnp.full_like(a[0], l) for l in _P_LIMBS]
+    d, borrow = _sub_chain(s, p)
+    need_sub = (carry > 0) | (borrow == 0)
+    return _select_ll(need_sub, d, s)
+
+
+def _sub_mod(a, b):
+    d, borrow = _sub_chain(a, b)
+    dp, carry = [], jnp.zeros_like(a[0])
+    for di, pi in zip(d, _P_LIMBS):
+        t = di + pi + carry
+        dp.append(t & MASK)
+        carry = t >> LIMB_BITS
+    return _select_ll(borrow > 0, dp, d)
+
+
+def _neg_mod(a):
+    p = [jnp.full_like(a[0], l) for l in _P_LIMBS]
+    d, _ = _sub_chain(p, a)
+    z = _is_zero_ll(a)
+    return [jnp.where(z, jnp.zeros_like(x), x) for x in d]
+
+
+def _mont_mul(a, b):
+    """CIOS Montgomery product, limb-list form (same lazy-carry scheme
+    and bounds as ops/field.mont_mul — see its docstring)."""
+    t = [jnp.zeros_like(a[0]) for _ in range(NL + 1)]
+    for i in range(NL):
+        ai = a[i]
+        for j in range(NL):
+            prod = ai * b[j]
+            t[j] = t[j] + (prod & MASK)
+            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+        m = (t[0] * _N0) & MASK
+        for j in range(NL):
+            q = m * _P_LIMBS[j]
+            t[j] = t[j] + (q & MASK)
+            t[j + 1] = t[j + 1] + (q >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS
+        t = t[1:] + [jnp.zeros_like(a[0])]
+        t[0] = t[0] + carry0
+    # Lazy-carry normalization: 2 vector rounds then the exact chain.
+    for _ in range(2):
+        nt = [t[0] & MASK]
+        for j in range(1, NL + 1):
+            nt.append((t[j] & MASK) + (t[j - 1] >> LIMB_BITS))
+        t = nt
+    out, carry = [], jnp.zeros_like(a[0])
+    for j in range(NL + 1):
+        s = t[j] + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    res, top = out[:NL], out[NL]
+    p = [jnp.full_like(a[0], l) for l in _P_LIMBS]
+    d, borrow = _sub_chain(res, p)
+    need_sub = (top > 0) | (borrow == 0)
+    return _select_ll(need_sub, d, res)
+
+
+def _dbl_mod(a):
+    return _add_mod(a, a)
+
+
+# ---------------------------------------------------------------------------
+# Complete mixed add (Jacobian += affine), limb-list form
+# ---------------------------------------------------------------------------
+
+
+def _add_mixed_ll(x1, y1, z1, qx, qy, q_inf):
+    """Complete P + Q with Q affine; mirrors ops/curve.add_mixed
+    (add + dbl paths evaluated, lane selects for the special cases).
+    ``q_inf``: bool (Wc, L) mask."""
+    z1z1 = _mont_mul(z1, z1)
+    xx = _mont_mul(x1, x1)
+    yy = _mont_mul(y1, y1)
+    yz = _mont_mul(y1, z1)
+    x_yy = _add_mod(x1, yy)
+    e_dbl = _add_mod(_dbl_mod(xx), xx)
+    z1c = _mont_mul(z1, z1z1)
+    t_dbl = _mont_mul(x_yy, x_yy)
+    c_dbl = _mont_mul(yy, yy)
+    f_dbl = _mont_mul(e_dbl, e_dbl)
+    u2 = _mont_mul(qx, z1z1)
+    s2 = _mont_mul(qy, z1c)
+    h = _sub_mod(u2, x1)
+    r = _sub_mod(s2, y1)
+    hh = _mont_mul(h, h)
+    rr = _mont_mul(r, r)
+    hhh = _mont_mul(h, hh)
+    v = _mont_mul(x1, hh)
+    x3 = _sub_mod(_sub_mod(rr, hhh), _dbl_mod(v))
+
+    d_dbl = _dbl_mod(_sub_mod(_sub_mod(t_dbl, xx), c_dbl))
+    x3d = _sub_mod(f_dbl, _dbl_mod(d_dbl))
+    c8 = _dbl_mod(_dbl_mod(_dbl_mod(c_dbl)))
+
+    rvx = _mont_mul(r, _sub_mod(v, x3))
+    s1h = _mont_mul(y1, hhh)
+    z3 = _mont_mul(z1, h)
+    ed = _mont_mul(e_dbl, _sub_mod(d_dbl, x3d))
+    y3 = _sub_mod(rvx, s1h)
+    y3d = _sub_mod(ed, c8)
+    z3d = _dbl_mod(yz)
+
+    h_zero = _is_zero_ll(h)
+    r_zero = _is_zero_ll(r)
+    p_inf = _is_zero_ll(z1)
+
+    ox = _select_ll(h_zero & r_zero, x3d, x3)
+    oy = _select_ll(h_zero & r_zero, y3d, y3)
+    oz = _select_ll(h_zero & r_zero, z3d, z3)
+    # P + (-P): infinity (z = 0; x/y values are don't-care, keep 1).
+    inf_case = h_zero & (~r_zero) & (~p_inf)
+    one = _const_ll(_ONE_MONT, x1[0])
+    ox = _select_ll(inf_case, one, ox)
+    oy = _select_ll(inf_case, one, oy)
+    oz = _select_ll(inf_case, _zeros_like(x1), oz)
+    # P = infinity: result is Q (affine lifted to z=1).
+    ox = _select_ll(p_inf, qx, ox)
+    oy = _select_ll(p_inf, qy, oy)
+    oz = _select_ll(p_inf, one, oz)
+    # Q = infinity: result is P.
+    ox = _select_ll(q_inf, x1, ox)
+    oy = _select_ll(q_inf, y1, oy)
+    oz = _select_ll(q_inf, z1, oz)
+    return ox, oy, oz
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _accum_kernel(nb: int, wc: int, lanes: int, pxy_ref, mag_ref, neg_ref, tbl_ref):
+    """One grid step: fold L points into the group's VMEM bucket table.
+
+    Refs: pxy (1, 32, L) — x limbs 0-15, y limbs 16-31 of this step's
+    points; mag/neg (1, 1, Wc, L); tbl (1, 48, B, Wc, L) — x limbs
+    0-15, y 16-31, z 32-47, persistent across the step grid dim.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        shape = tbl_ref.shape
+        for limb in range(NL):
+            one = jnp.full(shape[2:], _ONE_MONT[limb], jnp.uint32)
+            tbl_ref[0, limb] = one
+            tbl_ref[0, NL + limb] = one
+            tbl_ref[0, 2 * NL + limb] = jnp.zeros(shape[2:], jnp.uint32)
+
+    d = mag_ref[0, 0].astype(jnp.int32)  # (Wc, L)
+    neg = neg_ref[0, 0] != 0
+    # Broadcast each (1, L) point-limb row over the Wc window sublanes.
+    qx = [
+        jnp.broadcast_to(pxy_ref[0, limb : limb + 1, :], (wc, lanes))
+        for limb in range(NL)
+    ]
+    qy_raw = [
+        jnp.broadcast_to(pxy_ref[0, NL + limb : NL + limb + 1, :], (wc, lanes))
+        for limb in range(NL)
+    ]
+    qy = _select_ll(neg, _neg_mod(qy_raw), qy_raw)
+    q_inf = d == 0  # zero digit (incl. padding / infinity inputs): no-op
+
+    # Gather the addressed bucket per (window, lane) with an unrolled
+    # select chain over the small bucket axis (per-lane VMEM gathers
+    # don't vectorize on TPU; B dense (Wc, L) selects do).
+    cx = [tbl_ref[0, limb, 0] for limb in range(NL)]
+    cy = [tbl_ref[0, NL + limb, 0] for limb in range(NL)]
+    cz = [tbl_ref[0, 2 * NL + limb, 0] for limb in range(NL)]
+    for b in range(1, nb):
+        hit = d == b
+        cx = _select_ll(hit, [tbl_ref[0, limb, b] for limb in range(NL)], cx)
+        cy = _select_ll(hit, [tbl_ref[0, NL + limb, b] for limb in range(NL)], cy)
+        cz = _select_ll(hit, [tbl_ref[0, 2 * NL + limb, b] for limb in range(NL)], cz)
+
+    nx, ny, nz = _add_mixed_ll(cx, cy, cz, qx, qy, q_inf)
+
+    # Masked writeback: only the addressed bucket row changes.
+    for b in range(nb):
+        hit = d == b
+        for limb in range(NL):
+            tbl_ref[0, limb, b] = jnp.where(hit, nx[limb], tbl_ref[0, limb, b])
+            tbl_ref[0, NL + limb, b] = jnp.where(
+                hit, ny[limb], tbl_ref[0, NL + limb, b]
+            )
+            tbl_ref[0, 2 * NL + limb, b] = jnp.where(
+                hit, nz[limb], tbl_ref[0, 2 * NL + limb, b]
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c", "lanes", "wc", "interpret")
+)
+def accumulate_buckets_pallas(
+    px: jax.Array,
+    py: jax.Array,
+    pinf: jax.Array,
+    scalars: jax.Array,
+    c: int,
+    lanes: int = LANES,
+    wc: int = WC,
+    interpret: bool = False,
+) -> C.JacobianPoint:
+    """Pallas bucket accumulation: returns S as (16, W, B) Jacobian
+    batch, same contract as ops/msm.accumulate_buckets. N must be a
+    multiple of LANES (the caller pads with zero scalars)."""
+    from . import msm as M
+
+    n = px.shape[-1]
+    if n % lanes:
+        raise ValueError(f"pallas MSM needs N % {lanes} == 0, got {n}")
+    w_count = M.num_windows(c)
+    nb = (1 << (c - 1)) + 1
+    t_steps = n // lanes
+    wg = -(-w_count // wc)
+    w_pad = wg * wc
+
+    mags, negs = M.signed_digits(scalars, c, w_count)  # (W, N)
+    mags = jnp.where(pinf[None, :], 0, mags.astype(jnp.int32))
+    mags = jnp.pad(mags, ((0, w_pad - w_count), (0, 0)))
+    negs = jnp.pad(negs.astype(jnp.uint32), ((0, w_pad - w_count), (0, 0)))
+
+    # (Wg, T, Wc, L) digit/sign blocks; (T, 32, L) point stream.
+    mag_r = jnp.transpose(
+        mags.reshape(wg, wc, t_steps, lanes), (0, 2, 1, 3)
+    )
+    neg_r = jnp.transpose(
+        negs.reshape(wg, wc, t_steps, lanes), (0, 2, 1, 3)
+    )
+    pxy = jnp.concatenate([px, py], axis=0).reshape(32, t_steps, lanes)
+    pxy = jnp.moveaxis(pxy, 1, 0)  # (T, 32, L)
+
+    grid = (wg, t_steps)
+    out = pl.pallas_call(
+        functools.partial(_accum_kernel, nb, wc, lanes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 32, lanes), lambda wgi, t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, wc, lanes),
+                lambda wgi, t: (wgi, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, wc, lanes),
+                lambda wgi, t: (wgi, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 48, nb, wc, lanes),
+            lambda wgi, t: (wgi, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((wg, 48, nb, wc, lanes), jnp.uint32),
+        interpret=interpret,
+    )(pxy, mag_r, neg_r)
+
+    # (Wg, 48, B, Wc, L) -> coords (16, B, W, L); then reuse the XLA
+    # lane fold (suffix scan along the dense minor L axis).
+    tbl = jnp.transpose(out, (1, 2, 0, 3, 4)).reshape(48, nb, w_pad, lanes)
+    tbl = tbl[:, :, :w_count]
+    buckets = C.JacobianPoint(tbl[:NL], tbl[NL : 2 * NL], tbl[2 * NL :])
+    summed = M._suffix_scan_points(buckets)  # (16, B, W, L)
+    folded = jax.tree_util.tree_map(lambda a: a[..., 0], summed)  # (16, B, W)
+    return jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 1, 2), folded)
+
+
+def msm_kernel_pallas(
+    px,
+    py,
+    pinf,
+    scalars,
+    c: int,
+    lanes: int = LANES,
+    wc: int = WC,
+    interpret: bool = False,
+):
+    """Full MSM with the Pallas accumulation phase (call under jit)."""
+    from . import msm as M
+
+    buckets = accumulate_buckets_pallas(
+        px, py, pinf, scalars, c, lanes, wc, interpret
+    )
+    totals = M._weighted_bucket_reduce(buckets)
+    return M._join_windows(totals, c)
+
+
+#: ONE-dispatch entry: the whole MSM (Pallas accumulation + XLA folds)
+#: under a single jit, so the reduce/join phases don't issue eager
+#: relay dispatches.
+msm_pallas = jax.jit(
+    msm_kernel_pallas, static_argnames=("c", "lanes", "wc", "interpret")
+)

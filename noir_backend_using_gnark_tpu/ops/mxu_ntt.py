@@ -146,7 +146,10 @@ class MxuDomain:
     @classmethod
     def get(cls, n: int) -> "MxuDomain":
         if n not in cls._cache:
-            cls._cache[n] = cls(n)
+            inst = cls(n)
+            if isinstance(inst.fwd[0], jax.core.Tracer):
+                return inst  # built inside a trace: do not cache tracers
+            cls._cache[n] = inst
         return cls._cache[n]
 
 
@@ -308,15 +311,26 @@ def _mxu_dft(w_planes: jax.Array, x_mont: jax.Array) -> jax.Array:
 
 
 def _transform(x: jax.Array, tables, n1: int, n2: int) -> jax.Array:
-    """Full four-step NTT of a (16, n) Montgomery vector."""
+    """Full four-step NTT of a (16, ..., n) Montgomery array along the
+    last axis; middle axes are an independent batch transformed in the
+    same pair of MXU matmuls (the batch just widens the rhs)."""
     w1, tw, w2 = tables
-    m = x.reshape(16, n1, n2)
-    y = _mxu_dft(w1, m)  # columns: (16, n1, n2), DFT over axis 1
-    z = F.mont_mul(y, tw, FR)  # twiddles
-    # rows: DFT over axis 2 == DFT over axis 1 of the transpose.
-    zt = jnp.swapaxes(z, 1, 2)  # (16, n2, n1)
-    xt = _mxu_dft(w2, zt)  # (16, n2, n1) — [k2, k1]
-    return xt.reshape(16, n1 * n2)  # out[k1 + n1*k2] = X[k1,k2] ✓
+    batch = x.shape[1:-1]
+    nb = 1
+    for d in batch:
+        nb *= d
+    m = x.reshape(16, nb, n1, n2)
+    # columns: DFT over n1 for all nb*n2 vectors — ONE matmul.
+    y = jnp.moveaxis(m, 2, 1).reshape(16, n1, nb * n2)
+    y = _mxu_dft(w1, y).reshape(16, n1, nb, n2)
+    y = jnp.moveaxis(y, 1, 2)  # (16, nb, n1, n2)
+    z = F.mont_mul(y, tw[:, None], FR)  # twiddles broadcast over batch
+    # rows: DFT over n2 == DFT over axis -2 of the transpose.
+    zt = jnp.swapaxes(z, 2, 3)  # (16, nb, n2, n1)
+    zt = jnp.moveaxis(zt, 2, 1).reshape(16, n2, nb * n1)
+    xt = _mxu_dft(w2, zt).reshape(16, n2, nb, n1)
+    xt = jnp.moveaxis(xt, 1, 2)  # (16, nb, n2, n1) — [k2, k1]
+    return xt.reshape((16,) + batch + (n1 * n2,))  # out[k1 + n1*k2] ✓
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "scale"))
@@ -324,16 +338,21 @@ def _ntt_mxu_jit(x, w1, tw, w2, n_inv, n1: int, n2: int, scale: bool):
     out = _transform(x, (w1, tw, w2), n1, n2)
     if scale:
         out = F.mont_mul(
-            out, jnp.broadcast_to(n_inv.reshape(16, 1), out.shape), FR
+            out,
+            jnp.broadcast_to(
+                n_inv.reshape((16,) + (1,) * (out.ndim - 1)), out.shape
+            ),
+            FR,
         )
     return out
 
 
 def ntt_mxu(x: jax.Array, inverse: bool = False) -> jax.Array:
-    """MXU four-step (I)NTT of a (16, n) Montgomery-form vector,
-    natural order in/out. ONE dispatch; compiles as 2x37 int8 matmuls
-    plus elementwise reduction. Tables are runtime arguments (not
-    trace-time constants) so the compiled graph stays small."""
+    """MXU four-step (I)NTT of a (16, ..., n) Montgomery-form array
+    along the last axis (middle axes batch), natural order in/out.
+    ONE dispatch; compiles as 2x37 int8 matmuls plus elementwise
+    reduction. Tables are runtime arguments (not trace-time constants)
+    so the compiled graph stays small."""
     dom = MxuDomain.get(x.shape[-1])
     w1, tw, w2 = dom.inv if inverse else dom.fwd
     return _ntt_mxu_jit(x, w1, tw, w2, dom.n_inv, dom.n1, dom.n2, inverse)

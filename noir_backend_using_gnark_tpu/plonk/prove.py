@@ -38,6 +38,9 @@ from .transcript import Transcript
 FR = F.FR
 R = bigint.FR_MODULUS
 
+#: Cached jax platform ("tpu"/"cpu"), resolved on first prover use.
+_PLATFORM = None
+
 #: Coset shift for the 4n quotient-evaluation domain.
 QUOTIENT_SHIFT = bigint.FR_MULTIPLICATIVE_GENERATOR
 
@@ -106,11 +109,36 @@ class _TransformOps:
     def _dist_ok(self, n: int) -> bool:
         return self.mesh is not None and self._dn.can_distribute(n, self._n_dev)
 
+    @staticmethod
+    def _mxu_ok(n: int) -> bool:
+        """Route single-chip transforms through the MXU four-step
+        kernel on TPU (ops/mxu_ntt). Both kernels compute the exact
+        same field elements, so proof bytes are path-independent
+        (tests/test_mxu_ntt.py). NOIRTPU_NTT_IMPL=scan|mxu overrides."""
+        mode = os.environ.get("NOIRTPU_NTT_IMPL", "auto")
+        if mode == "scan":
+            return False
+        if n < 256 or n > (1 << 22):  # four-step factor limits
+            return False
+        if mode == "mxu":
+            return True
+        global _PLATFORM
+        if _PLATFORM is None:
+            try:
+                _PLATFORM = jax.devices()[0].platform
+            except Exception:  # noqa: BLE001
+                _PLATFORM = "unknown"
+        return _PLATFORM == "tpu"
+
     def intt(self, evals: jax.Array, domain: N.Domain) -> jax.Array:
         if self._dist_ok(evals.shape[-1]):
             # four_step transforms along the last axis with any batch
             # axes in the middle — batched polys stay ONE dispatch.
             return self._dn.four_step(evals, self.mesh, inverse=True)
+        if self._mxu_ok(evals.shape[-1]):
+            from ..ops import mxu_ntt  # noqa: PLC0415
+
+            return mxu_ntt.ntt_mxu(evals, inverse=True)
         return N.intt(evals, domain)
 
     def coset_ntt(self, coeffs: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
@@ -118,12 +146,22 @@ class _TransformOps:
         if self._dist_ok(n):
             scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
             return self._dn.four_step(scaled, self.mesh)
+        if self._mxu_ok(n):
+            from ..ops import mxu_ntt  # noqa: PLC0415
+
+            scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
+            return mxu_ntt.ntt_mxu(scaled)
         return N.coset_ntt(coeffs, shift, domain)
 
     def coset_intt(self, evals: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
         n = evals.shape[-1]
         if self._dist_ok(n):
             coeffs = self._dn.four_step(evals, self.mesh, inverse=True)
+            return N._scale_vec(coeffs, N._CosetScale.get(shift, n, True))
+        if self._mxu_ok(n):
+            from ..ops import mxu_ntt  # noqa: PLC0415
+
+            coeffs = mxu_ntt.ntt_mxu(evals, inverse=True)
             return N._scale_vec(coeffs, N._CosetScale.get(shift, n, True))
         return N.coset_intt(evals, shift, domain)
 
