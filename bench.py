@@ -235,9 +235,9 @@ def work() -> int:
     bx_np, by_np = host_base_points(base_n)  # host only — no compiles
     emit_partial(msm_base_setup_sec=round(time.time() - T_START, 1))
 
-    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "22"))
+    max_msm = int(os.environ.get("NOIRTPU_BENCH_MSM_LOG2", "24"))
     c_override = os.environ.get("NOIRTPU_BENCH_MSM_C")
-    for log2 in (12, 16, 20, 22):
+    for log2 in (12, 16, 20, 22, 24):
         if log2 > max_msm:
             break
         if should_stop(30):
@@ -369,7 +369,11 @@ def work() -> int:
             dt = time.time() - t0
             publics = [values[i - 1] for i in pc.public_witness_indices]
             ok = pv.verify(vk, proof, publics)
-            emit_partial(plonk_prove_sec_toy=round(dt, 4), plonk_verify_ok=bool(ok))
+            emit_partial(
+                plonk_prove_sec_toy=round(dt, 4),
+                plonk_proofs_per_sec_toy=round(1.0 / dt, 3),
+                plonk_verify_ok=bool(ok),
+            )
         except Exception as e:  # noqa: BLE001
             emit_partial(plonk_error=f"{type(e).__name__}: {e}")
             traceback.print_exc(file=sys.stderr)

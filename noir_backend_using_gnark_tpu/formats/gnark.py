@@ -264,14 +264,28 @@ def vk_to_gnark_bytes(vk) -> bytes:
     return b"".join(out)
 
 
-def vk_from_gnark_bytes(data: bytes, g2_gen=None, g2_alpha=None):
+def vk_init_kzg(vk, srs):
+    """Attach an SRS's G2 pair to a rehydrated vk — our `vk.InitKZG`
+    (gnark re-attaches the cached SRS the same way before verifying,
+    backend/plonk/plonk.go:34-40). Returns vk for chaining."""
+    vk.g2_gen = srs.g2_gen
+    vk.g2_alpha = srs.g2_alpha
+    return vk
+
+
+def vk_from_gnark_bytes(data: bytes, g2_gen=None, g2_alpha=None, srs=None):
     """gnark VerifyingKey stream -> our VerifyingKey.
 
     gnark's vk does not embed the KZG G2 points (it re-attaches the SRS
     via vk.InitKZG, backend/plonk/plonk.go:34-40); pass them in the
-    same way, or leave None and attach later.
+    same way — directly, via ``srs``, or later with
+    :func:`vk_init_kzg`. Without them the pairing checks in verify
+    cannot run.
     """
     from ..plonk.keys import VerifyingKey
+
+    if srs is not None:
+        g2_gen, g2_alpha = srs.g2_gen, srs.g2_alpha
 
     try:
         (n,) = struct.unpack(">Q", data[0:8])

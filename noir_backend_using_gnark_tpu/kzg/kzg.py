@@ -152,8 +152,14 @@ def verify_open(
 ) -> bool:
     """Host pairing check: e(C - [v]G1 + z*W, G2) * e(-W, [alpha]G2) == 1.
 
-    All points are affine int tuples (or None for infinity).
+    All points are affine int tuples (or None for infinity). Missing
+    G2 inputs FAIL CLOSED: e(P, infinity) == 1 for every P, so a vk
+    whose KZG G2 pair was never attached (e.g. rehydrated from gnark
+    bytes without vk_init_kzg) would otherwise "verify" anything —
+    caught by tests/test_gnark_protocol.py::test_vk_gnark_roundtrip.
     """
+    if g2_gen is None or g2_alpha is None:
+        return False
     g1 = hostcurve.g1_generator()
     lhs = hostcurve.g1_add(commitment, hostcurve.g1_neg(hostcurve.g1_mul(g1, value)))
     lhs = hostcurve.g1_add(lhs, hostcurve.g1_mul(proof, z))

@@ -237,12 +237,15 @@ def _add_mixed_ll(x1, y1, z1, qx, qy, q_inf):
 # ---------------------------------------------------------------------------
 
 
-def _accum_kernel(nb: int, wc: int, lanes: int, pxy_ref, mag_ref, neg_ref, tbl_ref):
+def _accum_kernel(
+    nb: int, wc: int, lanes: int, px_ref, py_ref, mag_ref, neg_ref, tbl_ref
+):
     """One grid step: fold L points into the group's VMEM bucket table.
 
-    Refs: pxy (1, 32, L) — x limbs 0-15, y limbs 16-31 of this step's
-    points; mag/neg (1, 1, Wc, L); tbl (1, 48, B, Wc, L) — x limbs
-    0-15, y 16-31, z 32-47, persistent across the step grid dim.
+    Refs: px/py (1, 16, L) — this step's point limbs; mag/neg
+    (1, 1, Wc, L) int8 (digits <= 2^{c-1} fit — 4x less HBM stream
+    than int32, which matters at 2^24); tbl (1, 48, B, Wc, L) — x
+    limbs 0-15, y 16-31, z 32-47, persistent across the step grid dim.
     """
     t = pl.program_id(1)
 
@@ -256,14 +259,17 @@ def _accum_kernel(nb: int, wc: int, lanes: int, pxy_ref, mag_ref, neg_ref, tbl_r
             tbl_ref[0, 2 * NL + limb] = jnp.zeros(shape[2:], jnp.uint32)
 
     d = mag_ref[0, 0].astype(jnp.int32)  # (Wc, L)
-    neg = neg_ref[0, 0] != 0
+    # Cast BEFORE comparing: an i1 mask derived from int8-tiled data
+    # keeps the (32, 128) sublane layout and Mosaic cannot relayout it
+    # against the uint32 (8, 128) operands of the selects.
+    neg = neg_ref[0, 0].astype(jnp.int32) != 0
     # Broadcast each (1, L) point-limb row over the Wc window sublanes.
     qx = [
-        jnp.broadcast_to(pxy_ref[0, limb : limb + 1, :], (wc, lanes))
+        jnp.broadcast_to(px_ref[0, limb : limb + 1, :], (wc, lanes))
         for limb in range(NL)
     ]
     qy_raw = [
-        jnp.broadcast_to(pxy_ref[0, NL + limb : NL + limb + 1, :], (wc, lanes))
+        jnp.broadcast_to(py_ref[0, limb : limb + 1, :], (wc, lanes))
         for limb in range(NL)
     ]
     qy = _select_ll(neg, _neg_mod(qy_raw), qy_raw)
@@ -324,19 +330,20 @@ def accumulate_buckets_pallas(
     w_pad = wg * wc
 
     mags, negs = M.signed_digits(scalars, c, w_count)  # (W, N)
-    mags = jnp.where(pinf[None, :], 0, mags.astype(jnp.int32))
+    # int8 digit/sign streams: magnitudes <= 2^{c-1} <= 128.
+    mags = jnp.where(pinf[None, :], 0, mags).astype(jnp.int8)
     mags = jnp.pad(mags, ((0, w_pad - w_count), (0, 0)))
-    negs = jnp.pad(negs.astype(jnp.uint32), ((0, w_pad - w_count), (0, 0)))
+    negs = jnp.pad(negs.astype(jnp.int8), ((0, w_pad - w_count), (0, 0)))
 
-    # (Wg, T, Wc, L) digit/sign blocks; (T, 32, L) point stream.
+    # (Wg, T, Wc, L) digit/sign blocks; points stay (16, T, L) views.
     mag_r = jnp.transpose(
         mags.reshape(wg, wc, t_steps, lanes), (0, 2, 1, 3)
     )
     neg_r = jnp.transpose(
         negs.reshape(wg, wc, t_steps, lanes), (0, 2, 1, 3)
     )
-    pxy = jnp.concatenate([px, py], axis=0).reshape(32, t_steps, lanes)
-    pxy = jnp.moveaxis(pxy, 1, 0)  # (T, 32, L)
+    px_r = jnp.moveaxis(px.reshape(16, t_steps, lanes), 1, 0)  # (T, 16, L)
+    py_r = jnp.moveaxis(py.reshape(16, t_steps, lanes), 1, 0)
 
     grid = (wg, t_steps)
     out = pl.pallas_call(
@@ -344,7 +351,10 @@ def accumulate_buckets_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 32, lanes), lambda wgi, t: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, 16, lanes), lambda wgi, t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 16, lanes), lambda wgi, t: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 1, wc, lanes),
@@ -364,7 +374,7 @@ def accumulate_buckets_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((wg, 48, nb, wc, lanes), jnp.uint32),
         interpret=interpret,
-    )(pxy, mag_r, neg_r)
+    )(px_r, py_r, mag_r, neg_r)
 
     # (Wg, 48, B, Wc, L) -> coords (16, B, W, L); then reuse the XLA
     # lane fold (suffix scan along the dense minor L axis).

@@ -131,6 +131,12 @@ class _TransformOps:
         return _PLATFORM == "tpu"
 
     def intt(self, evals: jax.Array, domain: N.Domain) -> jax.Array:
+        # Device-dispatch counter: mesh and single-chip proves must
+        # issue the SAME number of transform/commit dispatches (the
+        # round-2 mesh path silently unstacked batched transforms into
+        # per-column dispatches; tests/test_parallel.py asserts
+        # equality via these counters).
+        metrics.count("prove.dispatch.transform")
         if self._dist_ok(evals.shape[-1]):
             # four_step transforms along the last axis with any batch
             # axes in the middle — batched polys stay ONE dispatch.
@@ -142,6 +148,7 @@ class _TransformOps:
         return N.intt(evals, domain)
 
     def coset_ntt(self, coeffs: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
+        metrics.count("prove.dispatch.transform")
         n = coeffs.shape[-1]
         if self._dist_ok(n):
             scaled = N._scale_vec(coeffs, N._CosetScale.get(shift, n, False))
@@ -154,6 +161,7 @@ class _TransformOps:
         return N.coset_ntt(coeffs, shift, domain)
 
     def coset_intt(self, evals: jax.Array, shift: int, domain: N.Domain) -> jax.Array:
+        metrics.count("prove.dispatch.transform")
         n = evals.shape[-1]
         if self._dist_ok(n):
             coeffs = self._dn.four_step(evals, self.mesh, inverse=True)
@@ -166,6 +174,7 @@ class _TransformOps:
         return N.coset_intt(evals, shift, domain)
 
     def commit(self, srs, coeffs: jax.Array):
+        metrics.count("prove.dispatch.commit")
         return kzg.commit_ints(srs, coeffs, mesh=self.mesh)
 
 

@@ -1,10 +1,13 @@
 """Pippenger MSM tests vs the naive host MSM."""
 
 import numpy as np
+import pytest
 
 from noir_backend_using_gnark_tpu.ops import field as F
 from noir_backend_using_gnark_tpu.ops import msm as M
 from noir_backend_using_gnark_tpu.utils import hostcurve as H
+
+R = H.R
 
 
 def test_extract_digits():
@@ -84,4 +87,30 @@ def test_msm_2e12_default_window(rng):
     for i, s in enumerate(scalars):
         acc[i % 8] = (acc[i % 8] + s) % H.R
     want = H.g1_msm(distinct, acc)
+    assert got == want
+
+
+@pytest.mark.slow
+def test_pallas_accumulation_matches_host(rng):
+    """The Pallas VMEM-resident bucket kernel (interpret mode on CPU)
+    computes the same MSM as the host reference."""
+    import jax
+
+    from noir_backend_using_gnark_tpu.ops import curve as C
+    from noir_backend_using_gnark_tpu.ops import msm_pallas as MP
+
+    n = 128  # one grid step per window group
+    g = H.g1_generator()
+    pts, acc = [], g
+    for _ in range(n):
+        pts.append(acc)
+        acc = H.g1_add(acc, g)
+    scalars = [rng.randrange(1, R) for _ in range(n)]
+    want = None
+    for p, s in zip(pts, scalars):
+        want = H.g1_add(want, H.g1_mul(p, s))
+    batch = M.affine_from_ints(pts)
+    sc = F.from_ints(scalars, F.FR, to_mont=False)
+    out = MP.msm_kernel_pallas(batch.x, batch.y, batch.inf, sc, 4, interpret=True)
+    got = C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
     assert got == want

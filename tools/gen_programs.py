@@ -59,7 +59,11 @@ def program_assign_ex():
 def program_bool_not():
     b = CircuitBuilder()
     x = b.witness()
-    b.range_check(x, 1)
+    # 1-bit bools lower to the x^2 = x arithmetic gate only: the
+    # reference's `nargo gates` succeeds on every program, and its
+    # circuit-size formula errors on BlackBoxFuncCall opcodes
+    # (wrapper mod.rs:56-73) — so the compiled bool programs carry no
+    # RANGE opcodes. (RANGE witness-solving is covered in test_acir.)
     b.assert_bool(x)
     nx = b.bool_not(x)
     b.assert_eq_const(nx, 0)
@@ -70,7 +74,6 @@ def program_bool_or():
     b = CircuitBuilder()
     x, y = b.witness(), b.witness()
     for w in (x, y):
-        b.range_check(w, 1)
         b.assert_bool(w)
     o = b.bool_or(x, y)
     b.assert_eq_const(o, 1)
@@ -152,7 +155,6 @@ def program_main_bool_arg():
     x = b.witness()
     y = b.witnesses(2)
     for w in [x] + y:
-        b.range_check(w, 1)
         b.assert_bool(w)
     b.assert_eq_const(x, 1)  # constrain x
     b.assert_neq(y[0], y[1])
