@@ -232,6 +232,69 @@ def _add_mixed_ll(x1, y1, z1, qx, qy, q_inf):
     return ox, oy, oz
 
 
+def _add_full_ll(x1, y1, z1, x2, y2, z2):
+    """Complete P + Q, both Jacobian (mirror of ops/curve.add) — used
+    by the in-kernel lane fold."""
+    z1z1 = _mont_mul(z1, z1)
+    z2z2 = _mont_mul(z2, z2)
+    xx = _mont_mul(x1, x1)
+    yy = _mont_mul(y1, y1)
+    yz = _mont_mul(y1, z1)
+    x_yy = _add_mod(x1, yy)
+    e_dbl = _add_mod(_dbl_mod(xx), xx)
+    z1c = _mont_mul(z1, z1z1)
+    z2c = _mont_mul(z2, z2z2)
+    z1z2 = _mont_mul(z1, z2)
+    t_dbl = _mont_mul(x_yy, x_yy)
+    c_dbl = _mont_mul(yy, yy)
+    f_dbl = _mont_mul(e_dbl, e_dbl)
+    u1 = _mont_mul(x1, z2z2)
+    u2 = _mont_mul(x2, z1z1)
+    s1 = _mont_mul(y1, z2c)
+    s2 = _mont_mul(y2, z1c)
+    h = _sub_mod(u2, u1)
+    r = _sub_mod(s2, s1)
+    hh = _mont_mul(h, h)
+    rr = _mont_mul(r, r)
+    hhh = _mont_mul(h, hh)
+    v = _mont_mul(u1, hh)
+    x3 = _sub_mod(_sub_mod(rr, hhh), _dbl_mod(v))
+
+    d_dbl = _dbl_mod(_sub_mod(_sub_mod(t_dbl, xx), c_dbl))
+    x3d = _sub_mod(f_dbl, _dbl_mod(d_dbl))
+    c8 = _dbl_mod(_dbl_mod(_dbl_mod(c_dbl)))
+
+    rvx = _mont_mul(r, _sub_mod(v, x3))
+    s1h = _mont_mul(s1, hhh)
+    z3 = _mont_mul(z1z2, h)
+    ed = _mont_mul(e_dbl, _sub_mod(d_dbl, x3d))
+    y3 = _sub_mod(rvx, s1h)
+    y3d = _sub_mod(ed, c8)
+    z3d = _dbl_mod(yz)
+
+    h_zero = _is_zero_ll(h)
+    r_zero = _is_zero_ll(r)
+    p_inf = _is_zero_ll(z1)
+    q_inf = _is_zero_ll(z2)
+
+    dbl_case = h_zero & r_zero
+    ox = _select_ll(dbl_case, x3d, x3)
+    oy = _select_ll(dbl_case, y3d, y3)
+    oz = _select_ll(dbl_case, z3d, z3)
+    inf_case = h_zero & (~r_zero) & (~p_inf) & (~q_inf)
+    one = _const_ll(_ONE_MONT, x1[0])
+    ox = _select_ll(inf_case, one, ox)
+    oy = _select_ll(inf_case, one, oy)
+    oz = _select_ll(inf_case, _zeros_like(x1), oz)
+    ox = _select_ll(q_inf, x1, ox)
+    oy = _select_ll(q_inf, y1, oy)
+    oz = _select_ll(q_inf, z1, oz)
+    ox = _select_ll(p_inf, x2, ox)
+    oy = _select_ll(p_inf, y2, oy)
+    oz = _select_ll(p_inf, z2, oz)
+    return ox, oy, oz
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -300,6 +363,42 @@ def _accum_kernel(
             tbl_ref[0, 2 * NL + limb, b] = jnp.where(
                 hit, nz[limb], tbl_ref[0, 2 * NL + limb, b]
             )
+
+    # In-kernel lane fold on the LAST step: Hillis-Steele with wrapping
+    # rolls — after log2(L) rounds every lane holds the lane-sum, so
+    # the caller just reads lane 0. Folding here (VMEM-resident, fused
+    # adds) replaced an XLA suffix-scan whose HBM-bound adds cost a
+    # FIXED ~0.5 s regardless of N — dominating every MSM below 2^20.
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _fold_lanes():
+        def body_b(b, carry):
+            x = [tbl_ref[0, limb, b] for limb in range(NL)]
+            y = [tbl_ref[0, NL + limb, b] for limb in range(NL)]
+            z = [tbl_ref[0, 2 * NL + limb, b] for limb in range(NL)]
+
+            # fori over the log2(L) halvings with a TRACED roll amount:
+            # one _add_full_ll instantiation instead of log2(L) — the
+            # unrolled form alone was ~2/3 of the kernel's jaxpr, and
+            # TRACING this kernel (not compiling it) costs ~2 min per
+            # process at that size.
+            def fold_step(i, pt):
+                fx, fy, fz = pt
+                shift = (lanes >> 1) >> i
+                xr = [pltpu.roll(v, -shift, 1) for v in fx]
+                yr = [pltpu.roll(v, -shift, 1) for v in fy]
+                zr = [pltpu.roll(v, -shift, 1) for v in fz]
+                return _add_full_ll(fx, fy, fz, xr, yr, zr)
+
+            x, y, z = jax.lax.fori_loop(
+                0, lanes.bit_length() - 1, fold_step, (x, y, z)
+            )
+            for limb in range(NL):
+                tbl_ref[0, limb, b] = x[limb]
+                tbl_ref[0, NL + limb, b] = y[limb]
+                tbl_ref[0, 2 * NL + limb, b] = z[limb]
+            return carry
+
+        jax.lax.fori_loop(0, nb, body_b, 0)
 
 
 @functools.partial(
@@ -376,13 +475,12 @@ def accumulate_buckets_pallas(
         interpret=interpret,
     )(px_r, py_r, mag_r, neg_r)
 
-    # (Wg, 48, B, Wc, L) -> coords (16, B, W, L); then reuse the XLA
-    # lane fold (suffix scan along the dense minor L axis).
-    tbl = jnp.transpose(out, (1, 2, 0, 3, 4)).reshape(48, nb, w_pad, lanes)
+    # (Wg, 48, B, Wc, L) -> coords (16, B, W): the kernel already
+    # folded the lane axis in VMEM (every lane holds the lane-sum), so
+    # just read lane 0.
+    tbl = jnp.transpose(out[..., 0], (1, 2, 0, 3)).reshape(48, nb, w_pad)
     tbl = tbl[:, :, :w_count]
-    buckets = C.JacobianPoint(tbl[:NL], tbl[NL : 2 * NL], tbl[2 * NL :])
-    summed = M._suffix_scan_points(buckets)  # (16, B, W, L)
-    folded = jax.tree_util.tree_map(lambda a: a[..., 0], summed)  # (16, B, W)
+    folded = C.JacobianPoint(tbl[:NL], tbl[NL : 2 * NL], tbl[2 * NL :])
     return jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 1, 2), folded)
 
 

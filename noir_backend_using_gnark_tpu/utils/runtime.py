@@ -28,4 +28,13 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Deterministic cache keys across processes: with tracebacks in
+    # HLO locations, the Pallas MSM kernel's module hash differed per
+    # process (round-3 observation: two jit_msm_kernel_pallas entries
+    # for identical code → every fresh process recompiled ~2-3 min).
+    try:
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
+        jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
     _DONE = True
