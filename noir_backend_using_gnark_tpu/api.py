@@ -19,7 +19,7 @@ from __future__ import annotations
 from . import artifacts
 from .acir import lowering, model, solver
 from .config import DEFAULT, Config
-from .errors import ProvingError
+from .errors import BackendError, ProvingError
 from .plonk import prove as plonk_prove
 from .plonk import setup as plonk_setup
 from .plonk import verify as plonk_verify
@@ -123,6 +123,7 @@ class Backend:
         (Cargo.toml:32-37; its groth16 externs were never linkable,
         SURVEY §2.9 — ours dispatch for real).
         """
+        self._require_bn254("preprocess")
         with metrics.phase("preprocess"):
             if self.config.scheme == "groth16":
                 from .groth16 import groth16
@@ -145,6 +146,7 @@ class Backend:
     ) -> bytes:
         """Dense witness values (1-based order, missing = 0 —
         backend.rs:24-33) + pk blob -> proof bytes (backend.rs:85-94)."""
+        self._require_bn254("prove_with_pk")
         with metrics.phase("prove_with_pk"):
             if self.config.scheme == "groth16":
                 from .groth16 import groth16
@@ -190,6 +192,7 @@ class Backend:
         of exactly the public values (in witness-index order) is also
         accepted.
         """
+        self._require_bn254("verify_with_vk")
         with metrics.phase("verify_with_vk"):
             pc = lowering.lower_to_plonk(circuit)
             publics = self._extract_publics(pc, public_inputs)

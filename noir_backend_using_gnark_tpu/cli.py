@@ -147,8 +147,15 @@ def cmd_prove(pkg: str, backend: Backend) -> int:
 def cmd_verify(pkg: str, backend: Backend) -> int:
     circuit, abi = _load_package(pkg)
     target = _target(pkg)
-    proof = bytes.fromhex(open(os.path.join(target, "proof.hex")).read())
-    vk = bytes.fromhex(open(os.path.join(target, "vk.hex")).read())
+    try:
+        proof = bytes.fromhex(open(os.path.join(target, "proof.hex")).read())
+        vk = bytes.fromhex(open(os.path.join(target, "vk.hex")).read())
+    except ValueError:
+        # Corrupt hex is a verification failure, not a crash (the
+        # reference maps malformed artifacts to DeserializeProof errors,
+        # errors.rs:5-38).
+        print("[verify] FAILED (corrupt proof/vk hex)")
+        return 1
     verifier_inputs = _toml_witness(os.path.join(pkg, "Verifier.toml"), abi)
     pc = lowering.lower_to_plonk(circuit)
     publics = [verifier_inputs.get(i, 0) for i in pc.public_witness_indices]

@@ -339,7 +339,9 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     if scalars.shape[-1] != n:
         raise ValueError("points/scalars length mismatch")
     px, py, pinf = points.x, points.y, points.inf
-    if _use_pallas(n):
+    # c > 7 overflows the pallas kernel's int8 digit stream — route
+    # such explicit overrides through the XLA path instead.
+    if _use_pallas(n) and (c is None or c <= 7):
         from . import msm_pallas
 
         cp = c or 6  # measured best under the VMEM-resident kernel

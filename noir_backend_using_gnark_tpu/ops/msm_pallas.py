@@ -419,6 +419,16 @@ def accumulate_buckets_pallas(
     multiple of LANES (the caller pads with zero scalars)."""
     from . import msm as M
 
+    if c > 7:
+        # Signed-digit magnitudes reach exactly 2^{c-1}; at c=8 that is
+        # 128, which wraps to -128 in the int8 digit stream and silently
+        # drops those points from every bucket (wrong MSM, no error).
+        raise ValueError(
+            f"pallas MSM digit stream is int8: window width c={c} > 7 "
+            "would overflow (magnitude 2^{c-1} >= 128); use c <= 7 or "
+            "the XLA path (ops/msm.msm_xla)"
+        )
+
     n = px.shape[-1]
     if n % lanes:
         raise ValueError(f"pallas MSM needs N % {lanes} == 0, got {n}")

@@ -15,16 +15,21 @@ backend/plonk/plonk.go:29-73). That protocol differs from our
      z(omega*zeta). The verifier reconstructs the digests of H and
      r(X) as G1 combinations and checks the scalar identity
 
-       r(z) + PI(z) - alpha*(lb+beta*s1b+gamma)(rb+beta*s2b+gamma)
+       r(z) + PI(z) + alpha*(lb+beta*s1b+gamma)(rb+beta*s2b+gamma)
                           *(ob+gamma)*z_omega - alpha^2*L1(z)
          == Z_H(z) * H(z)
 
      with r(X) = lb*rb*Qm + lb*Ql + rb*Qr + ob*Qo + Qk
-               + alpha*[(lb+beta*z+gamma)(rb+beta*k1*z+gamma)
-                        (ob+beta*k2*z+gamma)]*Z(X)
-               - alpha*beta*z_omega*(lb+beta*s1b+gamma)
-                        (rb+beta*s2b+gamma)*S3(X)
-               + alpha^2*L1(z)*Z(X).
+               + [alpha^2*L1(z)
+                  - alpha*(lb+beta*z+gamma)(rb+beta*k1*z+gamma)
+                         (ob+beta*k2*z+gamma)]*Z(X)
+               + alpha*beta*z_omega*(lb+beta*s1b+gamma)
+                        (rb+beta*s2b+gamma)*S3(X).
+
+     Signs follow gnark v0.8 exactly (quotient numerator
+     gate + alpha*(Z(wX)*g - Z(X)*f) + alpha^2*L1*(Z-1); the verifier
+     ADDS the sigma-side constant and PI(z) = +sum pub_i*L_i(z),
+     matching the qL=-1 public placeholder rows of plonk/setup.py).
 
      (Derivation in this module's verify(); matches gnark v0.8
      internal/backend/bn254/plonk/{prove,verify}.go. Earlier
@@ -154,9 +159,13 @@ def derive_randomness(ts: GnarkTranscript, cid: str, points=()) -> int:
 
 
 def derive_kzg_fold_gamma(zeta: int, digests) -> int:
-    """gnark-crypto kzg.deriveGamma: SHA-256(point.Marshal() ||
-    digest_i.Marshal()...) reduced into Fr."""
+    """gnark-crypto v0.9.1 kzg.deriveGamma: a one-challenge
+    fiatshamir.NewTranscript(sha256, "gamma") bound to point.Marshal()
+    then each digest.Marshal() — i.e. SHA-256("gamma" || zeta ||
+    digests...) reduced into Fr (the transcript writes the challenge
+    ID first; first challenge, so no previous-value chaining)."""
     h = hashlib.sha256()
+    h.update(b"gamma")
     h.update(fr_marshal(zeta))
     for d in digests:
         h.update(g1_raw_bytes(d))
@@ -175,13 +184,14 @@ def _lagrange_one(n: int, omega: int, zeta: int, zh: int) -> int:
 
 
 def _pi_at(publics, n: int, omega: int, zeta: int, zh: int) -> int:
-    """PI(zeta) = sum_i -pub_i * L_i(zeta) (same sign convention as the
-    prover's PI polynomial in plonk/prove.py)."""
+    """PI(zeta) = sum_i +pub_i * L_i(zeta) — gnark's completed-qk
+    contribution (the qL=-1 placeholder rows carry -pub_i through the
+    wire; the prover's PI polynomial in plonk/prove.py matches)."""
     acc = 0
     for i, p in enumerate(publics):
         w_i = pow(omega, i, R)
         l_i = zh * w_i % R * pow(n * (zeta - w_i) % R, -1, R) % R
-        acc = (acc - p * l_i) % R
+        acc = (acc + p * l_i) % R
     return acc
 
 
@@ -249,8 +259,10 @@ def finish_prove(
     a_term, c_term = _lin_terms(
         pk.k1, pk.k2, beta, gamma, zeta, (lb, rb, ob, s1b, s2b)
     )
-    wz = (alpha * a_term + alpha * alpha % R * l1) % R
-    ws3 = (-alpha * beta % R * c_term % R * z_omega_val) % R
+    # gnark v0.8 linearization coefficients: Z(X) gets
+    # alpha^2*L1 - alpha*f(zeta); S3(X) gets +alpha*beta*g(zeta)*z(wz).
+    wz = (alpha * alpha % R * l1 - alpha * a_term) % R
+    ws3 = alpha * beta % R * c_term % R * z_omega_val % R
     weights = [lb * rb % R, lb, rb, ob, 1, wz, ws3]
 
     # ---- linearization polynomial + folded quotient (2 dispatches) ----
@@ -354,19 +366,19 @@ def verify(vk, proof: GnarkProof, public_inputs) -> bool:
         vk.k1, vk.k2, beta, gamma, zeta, (lb, rb, ob, s1b, s2b)
     )
     # Scalar identity (see module docstring; derivation: substitute the
-    # linearization split into the full PLONK identity at zeta).
+    # linearization split into gnark's quotient identity at zeta).
     lhs = (
         lin_z
         + pi
-        - alpha * c_term % R * ((ob + gamma) % R) % R * z_omega_val
+        + alpha * c_term % R * ((ob + gamma) % R) % R * z_omega_val
         - alpha * alpha % R * l1
     ) % R
     if lhs != zh * fh_z % R:
         return False
 
     # Rebuild digests exactly as the prover derived them.
-    wz = (alpha * a_term + alpha * alpha % R * l1) % R
-    ws3 = (-alpha * beta % R * c_term % R * z_omega_val) % R
+    wz = (alpha * alpha % R * l1 - alpha * a_term) % R
+    ws3 = alpha * beta % R * c_term % R * z_omega_val % R
     weights = [lb * rb % R, lb, rb, ob, 1, wz, ws3]
     lin_digest = _lin_digest(vk, proof.z, weights)
     chunk = n + 2

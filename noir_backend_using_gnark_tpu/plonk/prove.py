@@ -278,8 +278,19 @@ def _prove_impl(
         gamma = GP.derive_randomness(gts, "gamma", (com_a, com_b, com_c))
         beta = GP.derive_randomness(gts, "beta")
     elif protocol == "expanded":
-        ts = Transcript("noirtpu-plonk-v1")
+        if pk.vk is None:
+            raise ProvingError("expanded protocol requires pk.vk (vk binding)")
+        ts = Transcript("noirtpu-plonk-v2")
         ts.absorb(b"n", pk.n.to_bytes(8, "big"))
+        # Bind the circuit: selector + sigma commitment digests (the
+        # gnark transcript does this via bindPublicData; v1 omitted it
+        # — challenges did not commit to the vk).
+        for label, pt in zip(
+            (b"vk_ql", b"vk_qr", b"vk_qo", b"vk_qm", b"vk_qc",
+             b"vk_s1", b"vk_s2", b"vk_s3"),
+            pk.vk.commitment_list(),
+        ):
+            ts.absorb_point(label, pt)
         for p in publics:
             ts.absorb_felt(b"public", p)
         ts.absorb_point(b"a", com_a)
@@ -326,9 +337,10 @@ def _prove_impl(
         alpha = ts.challenge(b"alpha")
 
     # ---- Round 3: quotient --------------------------------------------
-    # PI polynomial: -pub_i at row i, else 0.
+    # PI polynomial: +pub_i at row i, else 0 (gnark's completed-qk
+    # contribution — the qL=-1 placeholder rows carry -pub_i, setup.py).
     pi_evals = F.from_ints(
-        [(-p) % R for p in publics] + [0] * (n - len(publics)), FR
+        [p % R for p in publics] + [0] * (n - len(publics)), FR
     )
     pi_c = ops.intt(pi_evals, domain)
 
@@ -393,9 +405,10 @@ def _prove_impl(
     alpha2_d = F.from_ints([alpha * alpha % R], FR)
     one4 = F.one_mont(FR, (big_n,))
     l1term = P.scale_poly(_mul_combine(l04, F.sub(z4, one4, FR)), alpha2_d)
+    # gnark v0.8 sign convention: + alpha*(Z(wX)*g - Z(X)*f).
     numer = F.add(
         gate,
-        F.add(P.scale_poly(F.sub(perm_pos, perm_neg, FR), alpha_d), l1term, FR),
+        F.add(P.scale_poly(F.sub(perm_neg, perm_pos, FR), alpha_d), l1term, FR),
         FR,
     )
     t4 = _mul_combine(numer, zh_inv4)

@@ -5,9 +5,12 @@ Our replacement for gnark's ``plonk.Setup`` as driven by the reference's
 permutation polynomials from the lowered gate table, commit to them with
 KZG, and package the keys.
 
-Row layout (standard PLONK public-input rows, as gnark does internally):
-  * rows 0..l-1: one gate per public input: qL=1 wires a=b=c=var i; the
-    verifier adds PI(zeta) = sum_i -pub_i * L_i(zeta) to the identity;
+Row layout (gnark v0.8 public placeholder rows, setup.go's
+"-PUB_INPUT_i + qk_i = 0" convention):
+  * rows 0..l-1: one gate per public input: qL=-1, wires a=b=c=var i;
+    the prover completes qk with +pub_i on these rows (the PI
+    polynomial in prove.py) and the verifier adds
+    PI(zeta) = sum_i +pub_i * L_i(zeta) to the identity;
   * rows l..l+g-1: the lowered ACIR gates (acir/lowering.py);
   * padding rows to the next power of two: all-zero selectors, wires
     pointing at variable 0.
@@ -79,7 +82,7 @@ def build_tables(pc: PlonkCircuit):
     wc = np.zeros(n, np.int32)
 
     for i in range(l):
-        ql[i] = 1
+        ql[i] = R - 1  # gnark's qL = -1 placeholder (setup.go)
         wa[i] = i
         wb[i] = i
         wc[i] = i

@@ -44,8 +44,16 @@ def _verify_expanded(vk: VerifyingKey, proof: Proof, public_inputs: list) -> boo
         return False
 
     # ---- Replay transcript --------------------------------------------
-    ts = Transcript("noirtpu-plonk-v1")
+    ts = Transcript("noirtpu-plonk-v2")
     ts.absorb(b"n", n.to_bytes(8, "big"))
+    # vk binding (v2): challenges commit to the circuit's selector and
+    # sigma commitments, mirroring gnark's bindPublicData.
+    for label, pt in zip(
+        (b"vk_ql", b"vk_qr", b"vk_qo", b"vk_qm", b"vk_qc",
+         b"vk_s1", b"vk_s2", b"vk_s3"),
+        vk.commitment_list(),
+    ):
+        ts.absorb_point(label, pt)
     for p in publics:
         ts.absorb_felt(b"public", p)
     ts.absorb_point(b"a", proof.a)
@@ -71,13 +79,15 @@ def _verify_expanded(vk: VerifyingKey, proof: Proof, public_inputs: list) -> boo
     zh = (pow(zeta, n, R) - 1) % R
     if zh == 0:
         return False  # zeta landed in H (cryptographically impossible)
-    # L_0(zeta) = Z_H(zeta) / (n * (zeta - 1)); PI(zeta) = sum -pub_i L_i.
+    # L_0(zeta) = Z_H(zeta) / (n * (zeta - 1)).
     def lagrange_at(i: int) -> int:
         w_i = pow(omega, i, R)
         return zh * w_i % R * pow(n * (zeta - w_i) % R, -1, R) % R
 
     l0 = lagrange_at(0)
-    pi_zeta = sum((-p) * lagrange_at(i) % R for i, p in enumerate(publics)) % R
+    # PI(zeta) = +sum pub_i * L_i(zeta): gnark's completed-qk term (the
+    # qL=-1 placeholder rows carry -pub_i through the wire, setup.py).
+    pi_zeta = sum(p * lagrange_at(i) % R for i, p in enumerate(publics)) % R
 
     gate = (
         ev["ql"] * ev["a"]
@@ -106,7 +116,8 @@ def _verify_expanded(vk: VerifyingKey, proof: Proof, public_inputs: list) -> boo
         % R
     )
     l1term = alpha * alpha % R * l0 % R * ((ev["z"] - 1) % R) % R
-    lhs = (gate + alpha * (perm_pos - perm_neg) + l1term) % R
+    # gnark sign convention: + alpha*(perm_neg - perm_pos).
+    lhs = (gate + alpha * (perm_neg - perm_pos) + l1term) % R
 
     chunk = n + 2
     t_bar = (

@@ -114,3 +114,17 @@ def test_pallas_accumulation_matches_host(rng):
     out = MP.msm_kernel_pallas(batch.x, batch.y, batch.inf, sc, 4, interpret=True)
     got = C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
     assert got == want
+
+
+def test_pallas_rejects_int8_overflow_window():
+    """c=8 signed digits reach magnitude 128, which wraps in the int8
+    digit stream — the kernel must refuse rather than silently drop
+    points (advisor round 3)."""
+    from noir_backend_using_gnark_tpu.ops import msm_pallas as MP
+
+    n = MP.LANES
+    px = F.from_ints([1] * n, F.FQ, to_mont=False)
+    sc = F.from_ints([1] * n, F.FR, to_mont=False)
+    pinf = np.zeros(n, bool)
+    with pytest.raises(ValueError, match="c <= 7|int8"):
+        MP.accumulate_buckets_pallas(px, px, pinf, sc, c=8, interpret=True)

@@ -78,7 +78,7 @@ def test_dist_msm_matches_host(rng, mesh8):
 # ---------------------------------------------------------------------------
 
 
-def _mesh_prove_bytes_match(mesh, target_rows: int) -> int:
+def _mesh_prove_bytes_match(mesh, target_rows: int, protocol: str = "expanded") -> int:
     from noir_backend_using_gnark_tpu import artifacts
     from noir_backend_using_gnark_tpu.acir import builder, lowering, solver
     from noir_backend_using_gnark_tpu.kzg import kzg
@@ -118,12 +118,12 @@ def _mesh_prove_bytes_match(mesh, target_rows: int) -> int:
 
     seed = b"\x07" * 32
     proof_dist, dist_counts = dispatch_counts(
-        lambda: pp.prove(pk, assignment, rng_seed=seed, mesh=mesh)
+        lambda: pp.prove(pk, assignment, rng_seed=seed, mesh=mesh, protocol=protocol)
     )
     publics = [values[i - 1] for i in pc.public_witness_indices]
     assert pv.verify(vk, proof_dist, publics)
     proof_single, single_counts = dispatch_counts(
-        lambda: pp.prove(pk, assignment, rng_seed=seed)
+        lambda: pp.prove(pk, assignment, rng_seed=seed, protocol=protocol)
     )
     assert artifacts.proof_to_bytes(proof_dist) == artifacts.proof_to_bytes(
         proof_single
@@ -134,14 +134,19 @@ def _mesh_prove_bytes_match(mesh, target_rows: int) -> int:
     return n
 
 
-def test_mesh_prove_matches_single_chip(mesh8):
+@pytest.mark.parametrize("protocol", ["expanded", "gnark"])
+def test_mesh_prove_matches_single_chip(mesh8, protocol):
     # Domain 64 = 8^2: every NTT (64 and 256) distributes over the mesh.
-    n = _mesh_prove_bytes_match(mesh8, 60)
+    # Both proof layouts: "gnark" is the default artifact format
+    # (config.proof_format) — its mesh-routed tail (batch_open_at,
+    # linearization commit) must produce single-chip-identical bytes too.
+    n = _mesh_prove_bytes_match(mesh8, 60, protocol=protocol)
     assert n == 64
 
 
 @pytest.mark.slow
 def test_mesh_prove_matches_single_chip_4k(mesh8):
-    # BASELINE.md row 4 scaled to the CPU mesh: a 2^12-domain circuit.
-    n = _mesh_prove_bytes_match(mesh8, 4000)
+    # BASELINE.md row 4 scaled to the CPU mesh: a 2^12-domain circuit,
+    # proved in the default (gnark) artifact format.
+    n = _mesh_prove_bytes_match(mesh8, 4000, protocol="gnark")
     assert n == 4096

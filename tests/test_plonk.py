@@ -116,3 +116,25 @@ def test_pk_srs_fingerprint_mismatch_detected(srs):
         values = solver.dense_values(circuit, witness)
         with pytest.raises(ProvingError, match="different SRS"):
             backend.prove_with_pk(circuit, values, blob)
+
+
+def test_bls12_381_proving_rejected():
+    """Config(curve="bls12_381") must raise BackendError from every
+    proving operation — the documented behavior (README; the
+    reference's bls12_381 feature has no Go counterpart either,
+    main.go:16-21)."""
+    from noir_backend_using_gnark_tpu.api import Backend
+    from noir_backend_using_gnark_tpu.acir import parse
+    from noir_backend_using_gnark_tpu.config import Config
+    from noir_backend_using_gnark_tpu.errors import BackendError
+
+    circuit = parse.parse_circuit((FIX / "acir_x_eq_y_pub.json").read_text())
+    b = Backend(Config(curve="bls12_381"))
+    with pytest.raises(BackendError, match="bn254-only"):
+        b.preprocess(circuit)
+    with pytest.raises(BackendError, match="bn254-only"):
+        b.prove_with_pk(circuit, [2, 2], b"")
+    with pytest.raises(BackendError, match="bn254-only"):
+        b.verify_with_vk(b"", [2], circuit, b"")
+    # Introspection-only surfaces still work for either curve.
+    assert b.np_language() == {"PLONKCSat": {"width": 3}}
