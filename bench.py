@@ -392,6 +392,40 @@ def work() -> int:
             plonk_phase_ms=phases,
         )
 
+    def run_groth16(_):
+        # BASELINE.md row 5's scheme at the 2^16 scale (VERDICT r3 #4):
+        # R1CS setup + prove + verify; host side is the native C++
+        # spmv/QAP path, G1/G2 queries and proof MSMs are device.
+        from noir_backend_using_gnark_tpu.acir import builder, solver
+        from noir_backend_using_gnark_tpu.groth16 import groth16 as G16
+
+        rows = int(os.environ.get("NOIRTPU_BENCH_G16_ROWS", str(1 << 15)))
+        cb = builder.CircuitBuilder()
+        x = cb.witness(public=True)
+        acc = x
+        for i in range(rows):
+            acc = cb.mul(acc, x) if i % 3 == 0 else cb.add(acc, x)
+        circuit = cb.build()
+        values = solver.dense_values(circuit, solver.solve(circuit, {1: 3}))
+        r1cs = G16.build_r1cs(circuit)
+        t0 = time.time()
+        pk, vk = with_retry(
+            lambda: G16.setup(r1cs, b"\x09" * 32), "groth16_setup"
+        )
+        setup_sec = time.time() - t0
+        with_retry(lambda: G16.prove(pk, values, b"\x01" * 32), "groth16_warm")
+        t0 = time.time()
+        proof = G16.prove(pk, values, b"\x02" * 32)
+        dt = time.time() - t0
+        publics = [values[i - 1] for i in r1cs.public_witness_indices]
+        ok = G16.verify(vk, proof, publics)
+        emit_partial(
+            groth16_constraints=r1cs.num_constraints,
+            groth16_setup_sec=round(setup_sec, 2),
+            groth16_prove_sec=round(dt, 2),
+            groth16_verify_ok=bool(ok),
+        )
+
     def run_fr_mul(_):
         n = 1 << 20
         a = rand_fr_limbs(n)
@@ -423,6 +457,12 @@ def work() -> int:
         ("ntt_mxu_2e22", 60, lambda _: run_ntt("mxu", 22), mxu_on and 22 <= max_ntt),
         ("ntt_mxu_2e24", 90, lambda _: run_ntt("mxu", 24), mxu_on and 24 <= max_ntt),
         ("ntt_scan_2e20", 45, lambda _: run_ntt("scan", min(20, max_ntt)), True),
+        (
+            "groth16",
+            120,
+            run_groth16,
+            os.environ.get("NOIRTPU_BENCH_G16", "1") != "0",
+        ),
         ("fr_mul", 20, run_fr_mul, True),
     ]
     for name, margin, fn, enabled in schedule:

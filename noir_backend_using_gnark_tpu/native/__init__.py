@@ -76,8 +76,26 @@ def _load():
             fn = getattr(lib, name)
             fn.restype = None
             fn.argtypes = [ctypes.c_longlong, _U64P, _U64P, _U64P]
-        lib.noirtpu_fr_batch_inv.restype = None
-        lib.noirtpu_fr_batch_inv.argtypes = [ctypes.c_longlong, _U64P, _U64P]
+        for name in ("noirtpu_fr_batch_inv", "noirtpu_fr_batch_sub"):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = (
+                [ctypes.c_longlong, _U64P, _U64P]
+                if name.endswith("inv")
+                else [ctypes.c_longlong, _U64P, _U64P, _U64P]
+            )
+        lib.noirtpu_fr_powers.restype = None
+        lib.noirtpu_fr_powers.argtypes = [ctypes.c_longlong, _U64P, _U64P, _U64P]
+        lib.noirtpu_spmv_fr.restype = ctypes.c_longlong
+        lib.noirtpu_spmv_fr.argtypes = [
+            ctypes.c_longlong, _I64P, _U32P, _U64P,
+            ctypes.c_longlong, _U64P, _U64P, ctypes.c_int,
+        ]
+        lib.noirtpu_spmv_t_fr.restype = ctypes.c_longlong
+        lib.noirtpu_spmv_t_fr.argtypes = [
+            ctypes.c_longlong, _I64P, _U32P, _U64P,
+            _U64P, ctypes.c_longlong, _U64P,
+        ]
         _lib = lib
         return _lib
 
@@ -282,4 +300,67 @@ def fr_batch_inv(a: np.ndarray) -> np.ndarray:
     lib = _load()
     out = np.zeros_like(a)
     lib.noirtpu_fr_batch_inv(a.shape[0], _p(a, _U64P), _p(out, _U64P))
+    return out
+
+
+def fr_batch_sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    out = np.zeros_like(a)
+    lib.noirtpu_fr_batch_sub(a.shape[0], _p(a, _U64P), _p(b, _U64P), _p(out, _U64P))
+    return out
+
+
+def fr_powers(n: int, base: int, scale: int = 1) -> np.ndarray:
+    """[scale * base^i for i < n] as (n, 4) canonical u64 limbs."""
+    lib = _load()
+    base_a = ints_to_u64x4([base])
+    scale_a = ints_to_u64x4([scale])
+    out = np.zeros((n, 4), np.uint64)
+    lib.noirtpu_fr_powers(n, _p(base_a, _U64P), _p(scale_a, _U64P), _p(out, _U64P))
+    return out
+
+
+class PackedRows:
+    """CSR packing of sparse Fr rows [(coeff_int, var_idx), ...] for the
+    spmv kernels (Groth16 R1CS host side)."""
+
+    def __init__(self, rows, modulus):
+        indptr = np.zeros(len(rows) + 1, np.int64)
+        coeffs, idxs = [], []
+        for i, row in enumerate(rows):
+            for c, v in row:
+                coeffs.append(c % modulus)
+                idxs.append(v)
+            indptr[i + 1] = len(idxs)
+        self.n_rows = len(rows)
+        self.indptr = indptr
+        self.idx = np.asarray(idxs, np.uint32)
+        self.coeff = ints_to_u64x4(coeffs)
+
+
+def spmv(packed: PackedRows, w: np.ndarray, out_mont: bool = False) -> np.ndarray:
+    """out[r] = sum coeff*w[idx] per CSR row; w canonical (n,4) u64.
+    out_mont=True returns Montgomery-form limbs (device form)."""
+    lib = _load()
+    out = np.zeros((packed.n_rows, 4), np.uint64)
+    rc = lib.noirtpu_spmv_fr(
+        packed.n_rows, _p(packed.indptr, _I64P), _p(packed.idx, _U32P),
+        _p(packed.coeff, _U64P), w.shape[0], _p(w, _U64P), _p(out, _U64P),
+        1 if out_mont else 0,
+    )
+    if rc != 0:
+        raise ValueError("spmv: variable index out of range")
+    return out
+
+
+def spmv_t(packed: PackedRows, x: np.ndarray, n_out: int) -> np.ndarray:
+    """out[idx] += coeff * x[row] (transpose walk; QAP accumulation)."""
+    lib = _load()
+    out = np.zeros((n_out, 4), np.uint64)
+    rc = lib.noirtpu_spmv_t_fr(
+        packed.n_rows, _p(packed.indptr, _I64P), _p(packed.idx, _U32P),
+        _p(packed.coeff, _U64P), _p(x, _U64P), n_out, _p(out, _U64P),
+    )
+    if rc != 0:
+        raise ValueError("spmv_t: variable index out of range")
     return out

@@ -439,6 +439,80 @@ void noirtpu_fr_batch_inv(long long n, const u64 *a, u64 *out) {
              fr_from_mont(fr_mont_inv(fr_to_mont(fr_load(a + 4 * i)))));
 }
 
+void noirtpu_fr_batch_sub(long long n, const u64 *a, const u64 *b, u64 *out) {
+  for (long long i = 0; i < n; ++i)
+    fr_store(out + 4 * i, fr_sub(fr_load(a + 4 * i), fr_load(b + 4 * i)));
+}
+
+// out[i] = base^i * scale (canonical); the running-product form of the
+// per-index pow() chains in Groth16 setup (h_query powers, Lagrange
+// numerators) — 2 Montgomery muls per element instead of a modexp.
+void noirtpu_fr_powers(long long n, const u64 *base, const u64 *scale,
+                       u64 *out) {
+  Fr base_m = fr_to_mont(fr_load(base));
+  Fr acc_m = fr_to_mont(fr_load(scale));
+  for (long long i = 0; i < n; ++i) {
+    fr_store(out + 4 * i, fr_from_mont(acc_m));
+    acc_m = fr_mont_mul(acc_m, base_m);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Sparse R1CS kernels (Groth16 host side — backend/groth16/r1cs.go
+// semantics, vectorized). Rows are CSR: indptr[n_rows+1] (i64),
+// idx[nnz] (u32 variable indices), coeff[nnz*4] canonical felts.
+//
+// Both kernels use the "one-sided Montgomery" trick: convert one
+// operand stream to Montgomery form once, then mont_mul(raw, mont)
+// yields the CANONICAL product directly (mont_mul divides by R), so
+// the inner loop is one mul + one add per nonzero with no per-term
+// form conversions.
+// ---------------------------------------------------------------------------
+
+// out[r] = sum_j coeff[j] * w[idx[j]] for j in [indptr[r], indptr[r+1]).
+// w canonical; out canonical, or Montgomery (device form) if out_mont.
+// Returns -1 if any idx >= n_w, else 0.
+long long noirtpu_spmv_fr(long long n_rows, const long long *indptr,
+                          const uint32_t *idx, const u64 *coeff,
+                          long long n_w, const u64 *w, u64 *out,
+                          int out_mont) {
+  Fr *w_m = new Fr[n_w];
+  for (long long i = 0; i < n_w; ++i) w_m[i] = fr_to_mont(fr_load(w + 4 * i));
+  long long rc = 0;
+  for (long long r = 0; r < n_rows; ++r) {
+    Fr acc = {{0, 0, 0, 0}};
+    for (long long j = indptr[r]; j < indptr[r + 1]; ++j) {
+      if (idx[j] >= (uint64_t)n_w) {
+        rc = -1;
+        break;
+      }
+      acc = fr_add(acc, fr_mont_mul(fr_load(coeff + 4 * j), w_m[idx[j]]));
+    }
+    if (rc) break;
+    fr_store(out + 4 * r, out_mont ? fr_to_mont(acc) : acc);
+  }
+  delete[] w_m;
+  return rc;
+}
+
+// QAP accumulation: out[idx[j]] += coeff[j] * x[r] (the transpose
+// walk of _qap_evals_at_tau). x canonical per row; out pre-zeroed
+// canonical, length n_out. Returns -1 on an out-of-range idx.
+long long noirtpu_spmv_t_fr(long long n_rows, const long long *indptr,
+                            const uint32_t *idx, const u64 *coeff,
+                            const u64 *x, long long n_out, u64 *out) {
+  for (long long r = 0; r < n_rows; ++r) {
+    Fr x_m = fr_to_mont(fr_load(x + 4 * r));
+    for (long long j = indptr[r]; j < indptr[r + 1]; ++j) {
+      if (idx[j] >= (uint64_t)n_out) return -1;
+      Fr cur = fr_load(out + 4 * idx[j]);
+      fr_store(out + 4 * idx[j],
+               fr_add(cur, fr_mont_mul(fr_load(coeff + 4 * j), x_m)));
+    }
+  }
+  return 0;
+}
+
 int noirtpu_abi_version() { return 1; }
 
 }  // extern "C"

@@ -123,6 +123,24 @@ def limb_array_to_ints(arr: np.ndarray) -> list[int]:
     return [limbs_to_int(arr[:, j]) for j in range(n)]
 
 
+def u64x4_to_limbs16(arr: np.ndarray) -> np.ndarray:
+    """(n, 4) uint64 LE-limb felts (the native C ABI layout) ->
+    (16, n) uint32 device limb array — a pure numpy view/transpose, no
+    per-element Python. The value is preserved bit-for-bit, so a
+    Montgomery-form u64x4 array becomes a Montgomery-form device array
+    (both use R = 2^256)."""
+    arr = np.ascontiguousarray(arr, np.uint64)
+    u16 = arr.view("<u2").reshape(arr.shape[0], 16)
+    return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+
+def limbs16_to_u64x4(arr: np.ndarray) -> np.ndarray:
+    """(16, n) uint32 device limbs -> (n, 4) uint64 LE limbs (inverse
+    of :func:`u64x4_to_limbs16`; limbs must be fully carried, < 2^16)."""
+    u16 = np.ascontiguousarray(np.asarray(arr).T).astype(np.uint16)
+    return np.ascontiguousarray(u16).view("<u8").reshape(-1, 4).copy()
+
+
 def ints_to_limb_array_fast(values) -> np.ndarray:
     """Vectorized :func:`ints_to_limb_array`: ints -> (16, N) uint32.
 

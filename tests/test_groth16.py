@@ -207,3 +207,32 @@ def test_backend_groth16_verify_from_cs():
     values = _solve_dense(circuit, {1: 0, 2: 1})
     proof = backend.prove_with_meta(circuit, values)
     assert backend.verify_from_cs(proof, values, circuit)
+
+
+@pytest.mark.slow
+def test_groth16_native_python_paths_agree():
+    """The native (C++ spmv/QAP) and pure-Python host paths must
+    produce byte-identical keys and proofs under the same seeds."""
+    from noir_backend_using_gnark_tpu.acir import lowering
+
+    if not __import__(
+        "noir_backend_using_gnark_tpu.native", fromlist=["available"]
+    ).available():
+        pytest.skip("native runtime unavailable")
+
+    circuit = parse.parse_circuit((FIX / "acir_x_neq_y.json").read_text())
+    values = _solve_dense(circuit, {1: 0, 2: 1})
+    r1cs = groth16.build_r1cs(circuit)
+
+    pk_n, vk_n = groth16.setup(r1cs, SEED)
+    proof_n = groth16.prove(pk_n, values, SEED)
+    lowering._FORCE_PYTHON = True
+    try:
+        r1cs_py = groth16.build_r1cs(circuit)
+        pk_p, vk_p = groth16.setup(r1cs_py, SEED)
+        proof_p = groth16.prove(pk_p, values, SEED)
+    finally:
+        lowering._FORCE_PYTHON = False
+    assert artifacts.groth16_vk_to_bytes(vk_n) == artifacts.groth16_vk_to_bytes(vk_p)
+    assert artifacts.groth16_pk_to_bytes(pk_n) == artifacts.groth16_pk_to_bytes(pk_p)
+    assert artifacts.groth16_proof_to_bytes(proof_n) == artifacts.groth16_proof_to_bytes(proof_p)
