@@ -24,10 +24,16 @@ Montgomery bookkeeping: inputs are Montgomery-form (x*R); the DFT
 matrices and twiddles are *canonical*, so W @ x_mont == (DFT x)*R —
 the result is already Montgomery-form after plain mod-p reduction.
 
-Sizes: supports n with both four-step factors <= MAX_FACTOR (2048),
-i.e. n <= 2^22 — the BASELINE.md single-chip range. Larger n recurses
-into the sharded pipeline (parallel/dist_ntt.py) whose local stages
-can call this kernel.
+Sizes: the flat kernel supports n with both four-step factors <=
+MAX_FACTOR (2048), i.e. n <= 2^22. Larger n (2^23-2^26, BASELINE.md
+table row 6) goes through a SECOND four-step level (ntt_mxu_big):
+n = n1*n2 with each factor's DFT computed by this kernel as the inner
+transform — valid because the domain roots form a consistent tower
+(w_n = ROOT^(2^(28-k)), so w_{2^24}^{n2} == w_{n1}). The level-2
+twiddle w^(k1*i2) is applied FACTORED (k1 = b*s1 + a =>
+T1[i2,a]*T2[i2,b], two mont_muls) so its tables are ~32 MB instead of
+the 1 GB dense table, and the inner batch runs in lax.map chunks to
+bound the int32 limb-accumulator footprint.
 
 Cites: replaces gnark-crypto's fft.Domain work inside plonk.Prove
 (reference backend/plonk/plonk.go:53-73, SURVEY.md §3.1 hot loop (b)).
@@ -352,7 +358,141 @@ def ntt_mxu(x: jax.Array, inverse: bool = False) -> jax.Array:
     along the last axis (middle axes batch), natural order in/out.
     ONE dispatch; compiles as 2x37 int8 matmuls plus elementwise
     reduction. Tables are runtime arguments (not trace-time constants)
-    so the compiled graph stays small."""
+    so the compiled graph stays small. n > 2^22 routes through the
+    two-level decomposition (ntt_mxu_big)."""
+    if x.shape[-1] > (1 << 22):
+        return ntt_mxu_big(x, inverse)
     dom = MxuDomain.get(x.shape[-1])
     w1, tw, w2 = dom.inv if inverse else dom.fwd
     return _ntt_mxu_jit(x, w1, tw, w2, dom.n_inv, dom.n1, dom.n2, inverse)
+
+
+# ---------------------------------------------------------------------------
+# Two-level four-step for n > 2^22 (single-chip 2^23..2^26)
+# ---------------------------------------------------------------------------
+
+
+class MxuBigDomain:
+    """Cached level-2 tables: factored twiddles for n = n1 * n2 where
+    each factor's DFT runs as an inner ntt_mxu call."""
+
+    _cache: dict = {}
+
+    def __init__(self, n: int):
+        from .ntt import Domain
+
+        k = n.bit_length() - 1
+        self.n = n
+        self.n1 = 1 << ((k + 1) // 2)
+        self.n2 = n // self.n1
+        if self.n1 > (1 << 22) or self.n2 > (1 << 22):
+            raise ValueError(f"ntt_mxu_big: factors of 2^{k} exceed the inner cap")
+        # Factor k1 = b*s1 + a: T1[i2, a] = w^(a*i2), T2[i2, b] =
+        # (w^s1)^(b*i2) — tables (16, n2, s1) + (16, n2, n1/s1).
+        self.s1 = 1 << (self.n1.bit_length() // 2)
+        dom = Domain.get(n)
+        self.fwd = self._twiddle_pair(dom.w_int)
+        self.inv = self._twiddle_pair(dom.w_inv_int)
+
+    def _twiddle_pair(self, omega: int):
+        r_mont = (1 << 256) % R_MOD
+        n2, s1, t1_w = self.n2, self.s1, self.n1 // self.s1
+        omega_s1 = pow(omega, s1, R_MOD)
+
+        def table(base_root: int, width: int) -> jax.Array:
+            # Row i2 is geometric in the second index with ratio
+            # base_root^i2 — n2*width host modmuls, Montgomery form.
+            vals = []
+            ratio = 1
+            for _i2 in range(n2):
+                acc = r_mont
+                for _a in range(width):
+                    vals.append(acc)
+                    acc = acc * ratio % R_MOD
+                ratio = ratio * base_root % R_MOD
+            return jnp.asarray(
+                bigint.ints_to_limb_array_fast(vals).reshape(16, n2, width)
+            )
+
+        return table(omega, s1), table(omega_s1, t1_w)
+
+    @classmethod
+    def get(cls, n: int) -> "MxuBigDomain":
+        if n not in cls._cache:
+            inst = cls(n)
+            if isinstance(inst.fwd[0], jax.core.Tracer):
+                return inst
+            cls._cache[n] = inst
+        return cls._cache[n]
+
+
+def _inner_batched(x: jax.Array, inverse: bool, chunk: int) -> jax.Array:
+    """Inner (<=2^22) transform of (16, B, m) along the last axis,
+    lax.map-chunked over B to bound the (73, ...) int32 accumulator
+    (~292 * chunk * m bytes live per step)."""
+    b_tot, m = x.shape[1], x.shape[2]
+    dom = MxuDomain.get(m)
+    w1, tw, w2 = dom.inv if inverse else dom.fwd
+    if b_tot <= chunk or b_tot % chunk:
+        return _ntt_mxu_jit(x, w1, tw, w2, dom.n_inv, dom.n1, dom.n2, inverse)
+    g = b_tot // chunk
+    xg = jnp.moveaxis(x.reshape(16, g, chunk, m), 1, 0)  # (g, 16, chunk, m)
+    yg = jax.lax.map(
+        lambda s: _transform_scaled(s, (w1, tw, w2), dom, inverse), xg
+    )
+    return jnp.moveaxis(yg, 0, 1).reshape(16, b_tot, m)
+
+
+def _transform_scaled(x, tables, dom, inverse: bool):
+    out = _transform(x, tables, dom.n1, dom.n2)
+    if inverse:
+        out = F.mont_mul(
+            out,
+            jnp.broadcast_to(
+                dom.n_inv.reshape((16,) + (1,) * (out.ndim - 1)), out.shape
+            ),
+            FR,
+        )
+    return out
+
+
+#: Target live elements per inner-transform chunk (acc bytes ~ 292x).
+_CHUNK_TARGET = 1 << 19
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n1", "n2", "s1", "inverse", "chunk")
+)
+def _ntt_mxu_big_jit(x, t1, t2, n1: int, n2: int, s1: int, inverse: bool, chunk: int):
+    batch = x.shape[1:-1]
+    nb = 1
+    for d in batch:
+        nb *= d
+    m = x.reshape(16, nb, n1, n2)
+    # Step 1: DFT_{n1} of every column i2 (root w^n2 == w_{n1} by the
+    # tower identity) — batch (nb*n2) over the inner kernel.
+    y = jnp.swapaxes(m, 2, 3).reshape(16, nb * n2, n1)
+    y = _inner_batched(y, inverse, chunk).reshape(16, nb, n2, n1)
+    # Step 2: factored twiddle w^{+-k1*i2}, k1 = b*s1 + a.
+    y4 = y.reshape(16, nb, n2, n1 // s1, s1)
+    z = F.mont_mul(y4, t1[:, None, :, None, :], FR)
+    z = F.mont_mul(z, t2[:, None, :, :, None], FR)
+    # Step 3: DFT_{n2} along i2 for each k1 (root w^n1).
+    zt = z.reshape(16, nb, n2, n1)
+    zt = jnp.swapaxes(zt, 2, 3).reshape(16, nb * n1, n2)
+    xp = _inner_batched(zt, inverse, chunk).reshape(16, nb, n1, n2)
+    # Step 4: out[b*s1+a + n1*k2] = X'[k1, k2].
+    out = jnp.swapaxes(xp, 2, 3)  # (16, nb, k2, k1)
+    return out.reshape((16,) + batch + (n1 * n2,))
+
+
+def ntt_mxu_big(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """Two-level four-step (I)NTT for n in 2^23..2^26 (see module
+    docstring). The inverse needs no extra 1/n scale: the two inner
+    inverse transforms contribute 1/n1 * 1/n2 = 1/n."""
+    dom = MxuBigDomain.get(x.shape[-1])
+    t1, t2 = dom.inv if inverse else dom.fwd
+    chunk = max(1, _CHUNK_TARGET // max(dom.n1, dom.n2))
+    return _ntt_mxu_big_jit(
+        x, t1, t2, dom.n1, dom.n2, dom.s1, inverse, chunk
+    )

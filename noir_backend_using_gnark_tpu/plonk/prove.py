@@ -118,7 +118,7 @@ class _TransformOps:
         mode = os.environ.get("NOIRTPU_NTT_IMPL", "auto")
         if mode == "scan":
             return False
-        if n < 256 or n > (1 << 22):  # four-step factor limits
+        if n < 256 or n > (1 << 24):  # two-level four-step limit
             return False
         if mode == "mxu":
             return True

@@ -80,3 +80,56 @@ def test_prover_routes_through_mxu(monkeypatch):
     assert artifacts.proof_to_bytes(p_scan) == artifacts.proof_to_bytes(p_mxu)
     publics = [values[i - 1] for i in pc.public_witness_indices]
     assert pv.verify(vk, p_mxu, publics)
+
+
+# ---------------------------------------------------------------------------
+# Two-level big path (n > 2^22 in production; exercised small here)
+# ---------------------------------------------------------------------------
+
+
+def _rand_poly(n, seed=3):
+    rng = np.random.RandomState(seed)
+    return F.from_ints([int(v) for v in rng.randint(0, 2**62, size=n)], F.FR)
+
+
+def test_big_path_matches_scan():
+    n = 1 << 12
+    x = _rand_poly(n)
+    dom = N.Domain.get(n)
+    assert (np.asarray(MX.ntt_mxu_big(x)) == np.asarray(N.ntt(x, dom))).all()
+    assert (
+        np.asarray(MX.ntt_mxu_big(x, inverse=True))
+        == np.asarray(N.intt(x, dom))
+    ).all()
+
+
+def test_big_path_roundtrip_and_batch():
+    n = 1 << 12
+    x = _rand_poly(2 * n).reshape(16, 2, n)
+    dom = N.Domain.get(n)
+    got = MX.ntt_mxu_big(x)
+    assert (np.asarray(got) == np.asarray(N.ntt(x, dom))).all()
+    back = MX.ntt_mxu_big(got, inverse=True)
+    assert (np.asarray(back) == np.asarray(x)).all()
+
+
+def test_big_path_chunked_inner(monkeypatch):
+    """Force the lax.map chunking (the 2^24 memory-bounding path) at a
+    small size and check exactness."""
+    monkeypatch.setattr(MX, "_CHUNK_TARGET", 1 << 8)  # chunk=4 at n1=64
+    n = 1 << 12
+    x = _rand_poly(n, seed=9)
+    dom = N.Domain.get(n)
+    assert (np.asarray(MX.ntt_mxu_big(x)) == np.asarray(N.ntt(x, dom))).all()
+
+
+def test_dispatch_routes_big():
+    """ntt_mxu transparently routes n > 2^22 to the big path — checked
+    via the MxuBigDomain cache key (no 2^23 transform on CPU here; the
+    split/table shapes are what's asserted)."""
+    dom = MX.MxuBigDomain(1 << 23)
+    assert dom.n1 * dom.n2 == 1 << 23
+    assert max(dom.n1, dom.n2) <= 1 << 12
+    t1, t2 = dom.fwd
+    assert t1.shape[0] == 16 and t1.shape[1] == dom.n2
+    assert t1.shape[2] * t2.shape[2] == dom.n1
