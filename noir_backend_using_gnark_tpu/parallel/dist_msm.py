@@ -82,6 +82,17 @@ def dist_msm(
     n_dev = mesh.devices.size
     c = c or M.default_window_bits(max(1, n // n_dev))
     lanes = M._lanes_for(max(1, n // n_dev), c)
+    from ..utils import metrics
+
+    # Fabric traffic of the bucket all_gather: 3 Jacobian coordinate
+    # planes of (16, W, B_buckets) uint32 per device, each received by
+    # the other D-1 devices.
+    w_cnt = M.num_windows(c)
+    n_buckets = (1 << (c - 1)) + 1  # signed-digit buckets incl. zero
+    metrics.count(
+        "comm.all_gather_bytes",
+        3 * 16 * w_cnt * n_buckets * 4 * (n_dev - 1) * n_dev,
+    )
     pad = (-n) % (lanes * n_dev)
     px, py, pinf = points.x, points.y, points.inf
     if pad:

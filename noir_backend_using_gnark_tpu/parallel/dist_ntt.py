@@ -159,4 +159,12 @@ def _four_step_jit(mesh, n: int, inverse: bool):
 
 def four_step(x: jax.Array, mesh, inverse: bool = False) -> jax.Array:
     """Compiled-and-cached distributed (I)NTT — one jit per (mesh, n)."""
+    from ..utils import metrics
+
+    # Fabric traffic of the one all_to_all re-shard: each device sends
+    # (D-1)/D of its (16, B, n1, n2/D) uint32 shard.
+    d = mesh.devices.size
+    metrics.count(
+        "comm.all_to_all_bytes", int(x.size) * 4 * (d - 1) // d
+    )
     return _four_step_jit(mesh, x.shape[-1], inverse)(x)
