@@ -28,8 +28,49 @@ REFERENCE_PROGRAMS = [
     "priv_x_eq_pub_y", "priv_x_neq_pub_y", "struct",
 ]
 
+#: Extra committed programs beyond the reference's 15 (not part of the
+#: reference-parity assertion; they get dedicated tests below).
+EXTRA_PROGRAMS = ["range_check"]
+
+
 def test_all_reference_programs_present():
-    assert ALL_PROGRAMS == sorted(REFERENCE_PROGRAMS)
+    assert ALL_PROGRAMS == sorted(REFERENCE_PROGRAMS + EXTRA_PROGRAMS)
+
+
+def test_range_program_full_pipeline(tmp_path, monkeypatch):
+    """A committed program whose ACIR RETAINS a RANGE BlackBoxFuncCall
+    (advisor r3): solve enforces the bound, lowering emits no
+    constraints for it (components.go stubs), prove/verify round-trip,
+    and `gates` errors — the reference's circuit-size formula rejects
+    black-box opcodes (wrapper mod.rs:56-73)."""
+    import shutil
+
+    from noir_backend_using_gnark_tpu.acir import model
+    from noir_backend_using_gnark_tpu.errors import UnsupportedOpcodeError
+
+    monkeypatch.setenv("NOIRTPU_MIN_DOMAIN", "256")
+    pkg = tmp_path / "range_check"
+    shutil.copytree(PROGRAMS_DIR / "range_check", pkg)
+    circuit, _abi = cli._load_package(str(pkg))
+    assert any(
+        isinstance(op, model.BlackBoxFuncCall)
+        and op.name == model.BlackBoxFunc.RANGE
+        for op in circuit.opcodes
+    ), "fixture lost its RANGE opcode"
+    with pytest.raises(UnsupportedOpcodeError):
+        circuit.circuit_size()
+
+    srs = str(tmp_path / "srs.hex")
+    args = ["--srs-path", srs, "--srs-size", "512", "--seed", "ab" * 32]
+    assert cli.main(["check", str(pkg)] + args) == 0
+    assert cli.main(["execute", str(pkg)] + args) == 0
+    assert cli.main(["gates", str(pkg)] + args) != 0  # reference errors
+    assert cli.main(["prove", str(pkg)] + args) == 0
+    assert cli.main(["verify", str(pkg)] + args) == 0
+
+    # Out-of-range witness: solving must fail at the RANGE opcode.
+    (pkg / "Prover.toml").write_text('x = "300"\ny = "600"\n')
+    assert cli.main(["execute", str(pkg)] + args) != 0
 
 
 @pytest.mark.parametrize("name", REFERENCE_PROGRAMS)

@@ -213,6 +213,22 @@ def program_struct():
     return b, {"x": x, "y": y}, {"x": "0", "y": "1"}, {}
 
 
+def program_range_check():
+    # NOT one of the reference's 15 programs: a 16th package whose
+    # ACIR RETAINS a RANGE BlackBoxFuncCall so the committed-program
+    # tier exercises the full lower/solve/prove pipeline over a
+    # black-box opcode (advisor r3: the bool programs lost theirs).
+    # Per reference semantics the opcode contributes NO constraints
+    # (components.go stubs) and `gates` errors on it (mod.rs:56-73);
+    # witness solving enforces the bound (solve_range_opcode).
+    b = CircuitBuilder()
+    x, y = b.witness(), b.witness(public=True)
+    b.range_check(x, 8)
+    z = b.add(x, x)
+    b.assert_eq(z, y)
+    return b, {"x": x, "y": y}, {"x": "77", "y": "154"}, {"y": "154"}
+
+
 PROGRAMS = {
     "array_neq": program_array_neq,
     "assign_ex": program_assign_ex,
@@ -228,6 +244,7 @@ PROGRAMS = {
     "pred_eq": program_pred_eq,
     "priv_x_eq_pub_y": program_priv_x_eq_pub_y,
     "priv_x_neq_pub_y": program_priv_x_neq_pub_y,
+    "range_check": program_range_check,
     "struct": program_struct,
 }
 
