@@ -16,6 +16,7 @@ plonk/keys.py for the proof layout and transcript.py for Fiat-Shamir.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -68,19 +69,116 @@ def _blind(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
     return F.add(out, _sparse_poly(n + k, entries), FR)
 
 
-@jax.jit
-def _mul_combine(a, b):
-    return F.mont_mul(a, b, FR)
+def _blind_batch(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
+    """Batched :func:`_blind`: coeffs (16, K, n) + per-poly blinding
+    in ONE pad + ONE add dispatch (the per-wire calls were 6 relay
+    round-trips)."""
+    k = len(blinds[0])
+    npolys = len(blinds)
+    out = jnp.pad(coeffs, ((0, 0), (0, 0), (0, k)))
+    arr = np.zeros((F.NUM_LIMBS, npolys, n + k), np.uint32)
+    r_mont = 1 << 256
+    for pi, bl in enumerate(blinds):
+        entries: dict = {}
+        for i, b in enumerate(bl):
+            entries[i] = (entries.get(i, 0) - b) % R
+            entries[n + i] = (entries.get(n + i, 0) + b) % R
+        for idx, val in entries.items():
+            for li, limb in enumerate(bigint.int_to_limbs(val % R * r_mont % R)):
+                arr[li, pi, idx] = limb
+    return F.add(out, jnp.asarray(arr), FR)
 
 
-@jax.jit
-def _prefix_product(ratio):
-    """Inclusive prefix product along the last axis — ONE dispatch
-    (in-graph rolled scan; the host-orchestrated scan was ~3*log2(n)
-    relay round-trips)."""
-    return scan_utils.rolled_scan(
-        lambda a, b: F.mont_mul(a, b, FR), ratio
+def _bcast_col(scalar_d: jax.Array, like: jax.Array) -> jax.Array:
+    """(16, 1) scalar limb array -> broadcast to ``like``'s shape."""
+    return jnp.broadcast_to(
+        scalar_d.reshape((16,) + (1,) * (like.ndim - 1)), like.shape
     )
+
+
+@jax.jit
+def _z_evals_kernel(wa_e, wb_e, wc_e, xs, s1e, s2e, s3e, beta_d, gamma_d, k1_d, k2_d):
+    """Round 2's whole elementwise chain — ONE dispatch (each un-jitted
+    field op is a separate ~0.1-0.3 s round-trip on the relay host, and
+    this chain had ~12 of them)."""
+    n = wa_e.shape[-1]
+    gamma_col = _bcast_col(gamma_d, wa_e)
+
+    def lin(w_e, ids):
+        return F.add(F.add(w_e, P.scale_poly(ids, beta_d), FR), gamma_col, FR)
+
+    num = F.mont_mul(
+        F.mont_mul(lin(wa_e, xs), lin(wb_e, P.scale_poly(xs, k1_d)), FR),
+        lin(wc_e, P.scale_poly(xs, k2_d)),
+        FR,
+    )
+    den = F.mont_mul(
+        F.mont_mul(lin(wa_e, s1e), lin(wb_e, s2e), FR), lin(wc_e, s3e), FR
+    )
+    ratio = F.mont_mul(num, F.batch_inv(den, FR), FR)
+    prefix = scan_utils.rolled_scan(lambda a, b: F.mont_mul(a, b, FR), ratio)
+    one = F.one_mont(FR, (1,))
+    return jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _quotient_kernel(
+    ev4, x_pows4, zh_pat_d, shift_d, beta_d, gamma_d, alpha_d, alpha2_d,
+    k1_d, k2_d, n: int
+):
+    """Round 3's full coset-evaluation algebra (gate + permutation +
+    L1 terms, gnark sign convention) — ONE dispatch from the stacked
+    coset evaluations to t4 = numerator * Z_H^{-1}."""
+    (
+        a4, b4, c4, z4, ql4, qr4, qo4, qm4, qc4, s14, s24, s34, pi4, l04,
+    ) = (ev4[:, i] for i in range(14))
+    zw4 = jnp.roll(z4, -4, axis=1)  # z(omega*x) on the coset (omega = w4^4)
+    big_n = a4.shape[-1]
+    xs4 = P.scale_poly(x_pows4, shift_d)
+    gamma4 = _bcast_col(gamma_d, a4)
+
+    def lin4(w4_, ids4):
+        return F.add(F.add(w4_, P.scale_poly(ids4, beta_d), FR), gamma4, FR)
+
+    gate = F.add(
+        F.add(
+            F.add(F.mont_mul(ql4, a4, FR), F.mont_mul(qr4, b4, FR), FR),
+            F.add(
+                F.mont_mul(qo4, c4, FR),
+                F.mont_mul(qm4, F.mont_mul(a4, b4, FR), FR),
+                FR,
+            ),
+            FR,
+        ),
+        F.add(qc4, pi4, FR),
+        FR,
+    )
+    perm_pos = F.mont_mul(
+        F.mont_mul(
+            F.mont_mul(lin4(a4, xs4), lin4(b4, P.scale_poly(xs4, k1_d)), FR),
+            lin4(c4, P.scale_poly(xs4, k2_d)),
+            FR,
+        ),
+        z4,
+        FR,
+    )
+    perm_neg = F.mont_mul(
+        F.mont_mul(
+            F.mont_mul(lin4(a4, s14), lin4(b4, s24), FR), lin4(c4, s34), FR
+        ),
+        zw4,
+        FR,
+    )
+    one4 = F.one_mont(FR, (big_n,))
+    l1term = P.scale_poly(F.mont_mul(l04, F.sub(z4, one4, FR), FR), alpha2_d)
+    # gnark v0.8 sign convention: + alpha*(Z(wX)*g - Z(X)*f).
+    numer = F.add(
+        gate,
+        F.add(P.scale_poly(F.sub(perm_neg, perm_pos, FR), alpha_d), l1term, FR),
+        FR,
+    )
+    zh_inv4 = jnp.tile(zh_pat_d, (1, n))  # period-4 Z_H^{-1} pattern
+    return F.mont_mul(numer, zh_inv4, FR)
 
 
 def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
@@ -257,9 +355,12 @@ def _prove_impl(
 
     with metrics.phase("round1.wires"):
         wires_c = ops.intt(wires_e, domain)  # (16, 3, n)
-        a_c = _blind(wires_c[:, 0], n, [draw_blind(), draw_blind()])
-        b_c = _blind(wires_c[:, 1], n, [draw_blind(), draw_blind()])
-        c_c = _blind(wires_c[:, 2], n, [draw_blind(), draw_blind()])
+        # Same draw order as the former per-wire calls (a1,a2,b1,...),
+        # so proof bytes for a given seed are unchanged.
+        wires_b = _blind_batch(
+            wires_c, n, [[draw_blind(), draw_blind()] for _ in range(3)]
+        )
+        a_c, b_c, c_c = wires_b[:, 0], wires_b[:, 1], wires_b[:, 2]
 
         com_a = ops.commit(pk.srs, a_c)
         com_b = ops.commit(pk.srs, b_c)
@@ -304,28 +405,15 @@ def _prove_impl(
     # ---- Round 2: permutation grand product ---------------------------
     xs = domain.x_powers()  # omega^i (host-generated, cached)
     beta_d = F.from_ints([beta], FR)
-    gamma_col = F.from_ints([gamma] * n, FR)
-
-    def lin(w_e, ids):
-        # w + beta*ids + gamma, elementwise over rows
-        return F.add(F.add(w_e, P.scale_poly(ids, beta_d), FR), gamma_col, FR)
-
+    gamma_d = F.from_ints([gamma], FR)
     k1_d = F.from_ints([K1], FR)
     k2_d = F.from_ints([K2], FR)
     with metrics.phase("round2.grand_product"):
-        num = _mul_combine(
-            _mul_combine(lin(wa_e, xs), lin(wb_e, P.scale_poly(xs, k1_d))),
-            lin(wc_e, P.scale_poly(xs, k2_d)),
+        z_evals = _z_evals_kernel(
+            wa_e, wb_e, wc_e, xs,
+            pk.s1_evals, pk.s2_evals, pk.s3_evals,
+            beta_d, gamma_d, k1_d, k2_d,
         )
-        den = _mul_combine(
-            _mul_combine(lin(wa_e, pk.s1_evals), lin(wb_e, pk.s2_evals)),
-            lin(wc_e, pk.s3_evals),
-        )
-        ratio = _mul_combine(num, F.batch_inv(den, FR))
-        prefix = _prefix_product(ratio)
-        one = F.one_mont(FR, (1,))
-        z_evals = jnp.concatenate([one, prefix[:, : n - 1]], axis=1)
-
         z_c = _blind(
             ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
         )
@@ -360,13 +448,8 @@ def _prove_impl(
         [jnp.pad(p, ((0, 0), (0, big_n - p.shape[1]))) for p in coset_in], axis=1
     )  # (16, 14, 4n)
     ev4 = ops.coset_ntt(stacked, QUOTIENT_SHIFT, domain4)
-    (
-        a4, b4, c4, z4, ql4, qr4, qo4, qm4, qc4, s14, s24, s34, pi4, l04,
-    ) = (ev4[:, i] for i in range(14))
-    zw4 = jnp.roll(z4, -4, axis=1)  # z(omega * x) on the coset (omega = w4^4)
 
-    # Coset points x = g * w4^j and Z_H^{-1}(x) (period-4 pattern).
-    xs4 = P.scale_poly(domain4.x_powers(), F.from_ints([QUOTIENT_SHIFT], FR))
+    # Z_H^{-1} on the coset (period-4 pattern, host scalars).
     g_n = pow(QUOTIENT_SHIFT, n, R)
     i4 = pow(domain4.w_int, n, R)
     zh_pat = []
@@ -375,43 +458,20 @@ def _prove_impl(
         if v == 0:
             raise ProvingError("quotient coset intersects the domain")
         zh_pat.append(pow(v, -1, R))
-    zh_inv4 = jnp.tile(F.from_ints(zh_pat, FR), (1, n))
 
-    gamma4 = F.from_ints([gamma] * big_n, FR)
-
-    def lin4(w4_, ids4):
-        return F.add(F.add(w4_, P.scale_poly(ids4, beta_d), FR), gamma4, FR)
-
-    gate = F.add(
-        F.add(
-            F.add(_mul_combine(ql4, a4), _mul_combine(qr4, b4), FR),
-            F.add(_mul_combine(qo4, c4), _mul_combine(qm4, _mul_combine(a4, b4)), FR),
-            FR,
-        ),
-        F.add(qc4, pi4, FR),
-        FR,
+    t4 = _quotient_kernel(
+        ev4,
+        domain4.x_powers(),
+        F.from_ints(zh_pat, FR),
+        F.from_ints([QUOTIENT_SHIFT], FR),
+        beta_d,
+        gamma_d,
+        F.from_ints([alpha], FR),
+        F.from_ints([alpha * alpha % R], FR),
+        k1_d,
+        k2_d,
+        n=n,
     )
-    perm_pos = _mul_combine(
-        _mul_combine(
-            _mul_combine(lin4(a4, xs4), lin4(b4, P.scale_poly(xs4, k1_d))),
-            lin4(c4, P.scale_poly(xs4, k2_d)),
-        ),
-        z4,
-    )
-    perm_neg = _mul_combine(
-        _mul_combine(_mul_combine(lin4(a4, s14), lin4(b4, s24)), lin4(c4, s34)), zw4
-    )
-    alpha_d = F.from_ints([alpha], FR)
-    alpha2_d = F.from_ints([alpha * alpha % R], FR)
-    one4 = F.one_mont(FR, (big_n,))
-    l1term = P.scale_poly(_mul_combine(l04, F.sub(z4, one4, FR)), alpha2_d)
-    # gnark v0.8 sign convention: + alpha*(Z(wX)*g - Z(X)*f).
-    numer = F.add(
-        gate,
-        F.add(P.scale_poly(F.sub(perm_neg, perm_pos, FR), alpha_d), l1term, FR),
-        FR,
-    )
-    t4 = _mul_combine(numer, zh_inv4)
     t_c = ops.coset_intt(t4, QUOTIENT_SHIFT, domain4)  # degree <= 2n+4
 
     chunk = n + 2
