@@ -26,7 +26,7 @@ def setup_jax(cache_dir: str | None = None) -> None:
         "NOIRTPU_JAX_CACHE", "/tmp/noirtpu_jax_cache"
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # Deterministic cache keys across processes: with tracebacks in
     # HLO locations, the Pallas MSM kernel's module hash differed per

@@ -129,7 +129,7 @@ def _configure_jax():
     # (a mont_mul traces to ~300 HLO ops, a curve add to ~2.5k) and
     # dominate first-run test wall-clock; cache across invocations.
     jax.config.update("jax_compilation_cache_dir", "/tmp/noirtpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 

@@ -134,12 +134,15 @@ def _mesh_prove_bytes_match(mesh, target_rows: int, protocol: str = "expanded") 
     return n
 
 
-@pytest.mark.parametrize("protocol", ["expanded", "gnark"])
+@pytest.mark.parametrize(
+    "protocol",
+    ["gnark", pytest.param("expanded", marks=pytest.mark.slow)],
+)
 def test_mesh_prove_matches_single_chip(mesh8, protocol):
     # Domain 64 = 8^2: every NTT (64 and 256) distributes over the mesh.
-    # Both proof layouts: "gnark" is the default artifact format
-    # (config.proof_format) — its mesh-routed tail (batch_open_at,
-    # linearization commit) must produce single-chip-identical bytes too.
+    # Both proof layouts; "gnark" (the default artifact format, whose
+    # mesh-routed tail must produce single-chip-identical bytes) runs
+    # in the fast tier, the expanded layout under -m slow.
     n = _mesh_prove_bytes_match(mesh8, 60, protocol=protocol)
     assert n == 64
 
