@@ -55,18 +55,27 @@ BASE_LOG2 = 12  # 4096 distinct host-generated base points, tiled upward
 # ---------------------------------------------------------------------------
 
 
+#: Section groups, each run in its OWN worker subprocess: a finished
+#: 2^24 section's device buffers drain slowly on the relay and the
+#: allocator fragments, so stacking every section in one process lost
+#: everything after msm_2e24 to RESOURCE_EXHAUSTED (measured twice).
+#: Process exit is the one reliable full release. Order: guaranteed
+#: metric families first (BASELINE.md: MSM + NTT + proofs/sec), then
+#: the big-memory stretch sections, heaviest last.
+WORKER_GROUPS = [
+    ("core", "msm_2e20,msm_2e22,ntt_mxu_2e20,plonk"),
+    ("ntt_big", "ntt_scan_2e20,fr_mul,ntt_mxu_2e22"),
+    ("msm24", "msm_2e24"),
+    ("ntt24", "ntt_mxu_2e24"),
+    ("groth16", "groth16"),
+]
+
+
 def supervise() -> int:
     t_start = time.time()
     fd, partials_path = tempfile.mkstemp(prefix="noirtpu_bench_", suffix=".jsonl")
     os.close(fd)
-    env = dict(os.environ, NOIRTPU_BENCH_PARTIALS=partials_path)
-    child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--worker"],
-        env=env,
-        start_new_session=True,
-        stdout=sys.stderr,
-        stderr=sys.stderr,
-    )
+    deadline = t_start + max(10.0, BUDGET - 5.0)
 
     interrupted = {"flag": False}
 
@@ -76,12 +85,45 @@ def supervise() -> int:
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    # Reserve a slice of the budget for teardown + emission.
-    deadline = t_start + max(10.0, BUDGET - 5.0)
-    while time.time() < deadline and not interrupted["flag"]:
-        if child.poll() is not None:
+    timed_out = False
+    for name, sections in WORKER_GROUPS:
+        if interrupted["flag"]:
             break
-        time.sleep(0.5)
+        left = deadline - time.time()
+        if left < 30:
+            timed_out = True
+            break
+        env = dict(
+            os.environ,
+            NOIRTPU_BENCH_PARTIALS=partials_path,
+            NOIRTPU_BENCH_SECTIONS=sections,
+            NOIRTPU_BENCH_DEADLINE=str(deadline),
+        )
+        print(f"[bench] group {name}: {sections}", file=sys.stderr, flush=True)
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env,
+            start_new_session=True,
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+        )
+        while time.time() < deadline and not interrupted["flag"]:
+            if child.poll() is not None:
+                break
+            time.sleep(0.5)
+        if child.poll() is None:
+            timed_out = True
+            # Graceful: the worker traps SIGTERM and exits between
+            # device ops. No SIGKILL — see module docstring (compile-
+            # queue orphaning + cache poisoning).
+            try:
+                os.killpg(child.pid, signal.SIGTERM)
+            except ProcessLookupError:
+                pass
+            break
+        # Short settle so the exited worker's device memory drains
+        # before the next group allocates.
+        time.sleep(5)
 
     details: dict = {}
     try:
@@ -95,16 +137,8 @@ def supervise() -> int:
                         pass
     except OSError:
         pass
-
-    if child.poll() is None:
+    if timed_out:
         details["timed_out"] = True
-        # Graceful: the worker traps SIGTERM and exits between device
-        # ops. No SIGKILL — see module docstring (compile-queue orphaning
-        # + cache poisoning).
-        try:
-            os.killpg(child.pid, signal.SIGTERM)
-        except ProcessLookupError:
-            pass
 
     details["total_bench_sec"] = round(time.time() - t_start, 1)
     msm_value = details.pop("_msm_value", None)
@@ -143,6 +177,9 @@ _TERM = {"flag": False}
 
 
 def remaining() -> float:
+    dl = os.environ.get("NOIRTPU_BENCH_DEADLINE")
+    if dl:
+        return float(dl) - time.time()
     return BUDGET - (time.time() - T_START)
 
 
@@ -329,7 +366,12 @@ def work() -> int:
 
             fn = mxu_ntt.ntt_mxu
         n = 1 << log2
-        coeffs = F.from_mont(rand_fr_limbs(n), F.FR)
+        # Random limbs used directly as Montgomery-form inputs: a
+        # host->device from_mont here OOMed the chip at 2^22+ (XLA
+        # cannot fuse the 16-limb CIOS chain — 35 GB of temps at 2^24,
+        # measured) and throughput doesn't depend on which field
+        # elements are transformed.
+        coeffs = rand_fr_limbs(n)
         with_retry(lambda: sync(fn(coeffs)), f"ntt_{kind}_2e{log2}")
         out = coeffs
         reps = 5 if log2 <= 20 else 2
@@ -374,15 +416,22 @@ def work() -> int:
             lambda: pp.prove(pk, assignment, rng_seed=b"\x01" * 32),
             "plonk_warm",
         )  # warm (compiles)
+
+        def phase_ms(snap):
+            rec = snap.get("phases", {}).get("plonk.prove", {})
+            return {k: v["ms"] for k, v in rec.get("children", {}).items()}
+
+        before = phase_ms(metrics.snapshot())
         t0 = time.time()
         proof = pp.prove(pk, assignment, rng_seed=b"\x02" * 32)
         dt = time.time() - t0
         publics = [values[i - 1] for i in pc.public_witness_indices]
         ok = pv.verify(vk, proof, publics)
-        prove_rec = metrics.snapshot().get("phases", {}).get("plonk.prove", {})
+        after = phase_ms(metrics.snapshot())
+        # Per-phase delta of the TIMED prove only (the cumulative
+        # average would fold the warm call's compiles in).
         phases = {
-            k: round(v["ms"] / max(v["calls"], 1), 1)
-            for k, v in prove_rec.get("children", {}).items()
+            k: round(v - before.get(k, 0.0), 1) for k, v in after.items()
         }
         emit_partial(
             plonk_domain_n=n_dom,
@@ -448,6 +497,8 @@ def work() -> int:
     # started unless that much budget remains, so one slow compile
     # can't starve every later family (round 3's failure mode).
     mxu_on = os.environ.get("NOIRTPU_BENCH_MXU", "1") != "0"
+    only = os.environ.get("NOIRTPU_BENCH_SECTIONS")
+    only_set = set(only.split(",")) if only else None
     schedule = [
         ("msm_2e20", 60, lambda _: run_msm(20), 20 <= max_msm),
         ("msm_2e22", 90, lambda _: run_msm(22), 22 <= max_msm),
@@ -465,7 +516,11 @@ def work() -> int:
         ),
         ("fr_mul", 20, run_fr_mul, True),
     ]
+    import gc
+
     for name, margin, fn, enabled in schedule:
+        if only_set is not None and name not in only_set:
+            continue
         if not enabled:
             continue
         if should_stop(margin):
@@ -476,6 +531,15 @@ def work() -> int:
         except Exception as e:  # noqa: BLE001
             emit_partial(**{f"{name}_error": f"{type(e).__name__}: {e}"})
             traceback.print_exc(file=sys.stderr)
+        # Release the section's device arrays BEFORE the next section
+        # allocates: deallocation is async and a finished 2^24 section
+        # can otherwise leave HBM full (the pre-warm run lost every
+        # section after msm_2e24 to RESOURCE_EXHAUSTED).
+        gc.collect()
+        try:
+            sync(jnp.zeros((8,), jnp.uint32) + 1)  # blocking device sync
+        except Exception:  # noqa: BLE001
+            pass
 
     return 0
 

@@ -358,9 +358,16 @@ def ntt_mxu(x: jax.Array, inverse: bool = False) -> jax.Array:
     along the last axis (middle axes batch), natural order in/out.
     ONE dispatch; compiles as 2x37 int8 matmuls plus elementwise
     reduction. Tables are runtime arguments (not trace-time constants)
-    so the compiled graph stays small. n > 2^22 routes through the
-    two-level decomposition (ntt_mxu_big)."""
-    if x.shape[-1] > (1 << 22):
+    so the compiled graph stays small. Transforms with more than 2^20
+    total elements (batch included) route through the two-level
+    decomposition (ntt_mxu_big): the flat kernel's scan carries a
+    (73, batch*n) int32 limb accumulator whose double-buffering
+    exhausted v5e HBM at 2^22 (measured RESOURCE_EXHAUSTED); the
+    two-level path chunks that accumulator to ~150 MB."""
+    total = 1
+    for d in x.shape[1:]:
+        total *= d
+    if total > (1 << 20):
         return ntt_mxu_big(x, inverse)
     dom = MxuDomain.get(x.shape[-1])
     w1, tw, w2 = dom.inv if inverse else dom.fwd
@@ -469,17 +476,47 @@ def _ntt_mxu_big_jit(x, t1, t2, n1: int, n2: int, s1: int, inverse: bool, chunk:
     for d in batch:
         nb *= d
     m = x.reshape(16, nb, n1, n2)
-    # Step 1: DFT_{n1} of every column i2 (root w^n2 == w_{n1} by the
-    # tower identity) — batch (nb*n2) over the inner kernel.
+    # Steps 1+2 fused and CHUNKED over i2: DFT_{n1} of every column
+    # (root w^n2 == w_{n1} by the tower identity) then the factored
+    # twiddle w^{+-k1*i2} (k1 = b*s1 + a). The twiddle mont_muls must
+    # live INSIDE the chunk map: XLA cannot fuse the 16-limb CIOS
+    # chain, so a full-width (16, 2^24) mont_mul materializes ~35 GB
+    # of temps (measured OOM); per-chunk the temps are ~tens of MB.
     y = jnp.swapaxes(m, 2, 3).reshape(16, nb * n2, n1)
-    y = _inner_batched(y, inverse, chunk).reshape(16, nb, n2, n1)
-    # Step 2: factored twiddle w^{+-k1*i2}, k1 = b*s1 + a.
-    y4 = y.reshape(16, nb, n2, n1 // s1, s1)
-    z = F.mont_mul(y4, t1[:, None, :, None, :], FR)
-    z = F.mont_mul(z, t2[:, None, :, :, None], FR)
-    # Step 3: DFT_{n2} along i2 for each k1 (root w^n1).
-    zt = z.reshape(16, nb, n2, n1)
-    zt = jnp.swapaxes(zt, 2, 3).reshape(16, nb * n1, n2)
+    t1b = jnp.broadcast_to(t1[:, None], (16, nb) + t1.shape[1:]).reshape(
+        16, nb * n2, s1
+    )
+    t2b = jnp.broadcast_to(t2[:, None], (16, nb) + t2.shape[1:]).reshape(
+        16, nb * n2, n1 // s1
+    )
+    dom1 = MxuDomain.get(n1)
+    w1a, tw1, w1b = dom1.inv if inverse else dom1.fwd
+
+    def ab_body(args):
+        xc, t1c, t2c = args  # (16, C, n1), (16, C, s1), (16, C, n1//s1)
+        yc = _transform_scaled(xc, (w1a, tw1, w1b), dom1, inverse)
+        y4 = yc.reshape(16, xc.shape[1], n1 // s1, s1)
+        z = F.mont_mul(y4, t1c[:, :, None, :], FR)
+        z = F.mont_mul(z, t2c[:, :, :, None], FR)
+        return z.reshape(16, xc.shape[1], n1)
+
+    b_tot = nb * n2
+    if b_tot <= chunk or b_tot % chunk:
+        y = ab_body((y, t1b, t2b))
+    else:
+        g = b_tot // chunk
+
+        def to_chunks(a, w):
+            return jnp.moveaxis(a.reshape(16, g, chunk, w), 1, 0)
+
+        yg = jax.lax.map(
+            ab_body,
+            (to_chunks(y, n1), to_chunks(t1b, s1), to_chunks(t2b, n1 // s1)),
+        )
+        y = jnp.moveaxis(yg, 0, 1).reshape(16, b_tot, n1)
+    y = y.reshape(16, nb, n2, n1)
+    # Step 3: DFT_{n2} along i2 for each k1 (root w^n1), chunked.
+    zt = jnp.swapaxes(y, 2, 3).reshape(16, nb * n1, n2)
     xp = _inner_batched(zt, inverse, chunk).reshape(16, nb, n1, n2)
     # Step 4: out[b*s1+a + n1*k2] = X'[k1, k2].
     out = jnp.swapaxes(xp, 2, 3)  # (16, nb, k2, k1)
