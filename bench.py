@@ -63,11 +63,20 @@ BASE_LOG2 = 12  # 4096 distinct host-generated base points, tiled upward
 #: metric families first (BASELINE.md: MSM + NTT + proofs/sec), then
 #: the big-memory stretch sections, heaviest last.
 WORKER_GROUPS = [
-    ("core", "msm_2e20,msm_2e22,ntt_mxu_2e20,plonk"),
-    ("ntt_big", "ntt_scan_2e20,fr_mul,ntt_mxu_2e22"),
-    ("msm24", "msm_2e24"),
-    ("ntt24", "ntt_mxu_2e24"),
-    ("groth16", "groth16"),
+    # Guaranteed set + everything whose program fits alongside it
+    # (~6 GB peak): pays the per-process module-load tax ONCE for the
+    # shared field/NTT/MSM modules (~40-60 s per pallas binary). The
+    # 2^20 MSM row moved to the stretch tail: its ~65 s module load
+    # was the difference between the 2^24 headline fitting the default
+    # budget or not (throughput at 2^20 is dispatch-bound anyway).
+    # (name, sections, min seconds of budget left to even start the
+    # group — measured whole-group costs + margin, so a group either
+    # fits or skips cleanly instead of tripping the deadline).
+    ("core", "msm_2e22,ntt_mxu_2e20,plonk,ntt_mxu_2e22,ntt_scan_2e20,fr_mul", 30),
+    ("msm24", "msm_2e24", 170),
+    ("ntt24", "ntt_mxu_2e24", 220),
+    ("groth16", "groth16", 320),
+    ("msm20", "msm_2e20", 110),
 ]
 
 
@@ -86,13 +95,14 @@ def supervise() -> int:
     signal.signal(signal.SIGINT, on_term)
 
     timed_out = False
-    for name, sections in WORKER_GROUPS:
+    skipped = []
+    for name, sections, min_left in WORKER_GROUPS:
         if interrupted["flag"]:
             break
         left = deadline - time.time()
-        if left < 30:
-            timed_out = True
-            break
+        if left < min_left:
+            skipped.append(name)
+            continue
         env = dict(
             os.environ,
             NOIRTPU_BENCH_PARTIALS=partials_path,
@@ -137,6 +147,8 @@ def supervise() -> int:
                         pass
     except OSError:
         pass
+    if skipped:
+        details["groups_skipped_budget"] = skipped
     if timed_out:
         details["timed_out"] = True
 
