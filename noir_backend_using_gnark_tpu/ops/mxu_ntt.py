@@ -25,8 +25,12 @@ matrices and twiddles are *canonical*, so W @ x_mont == (DFT x)*R —
 the result is already Montgomery-form after plain mod-p reduction.
 
 Sizes: the flat kernel supports n with both four-step factors <=
-MAX_FACTOR (2048), i.e. n <= 2^22. Larger n (2^23-2^26, BASELINE.md
-table row 6) goes through a SECOND four-step level (ntt_mxu_big):
+MAX_FACTOR (2048), i.e. n <= 2^22 — but transforms over 2^20 TOTAL
+elements (batch included) are routed to the two-level path anyway
+because the flat scan's (73, total) int32 accumulator double-buffers
+past v5e HBM (measured RESOURCE_EXHAUSTED at 2^22). Larger n
+(2^21-2^26, BASELINE.md table row 6) goes through a SECOND four-step
+level (ntt_mxu_big):
 n = n1*n2 with each factor's DFT computed by this kernel as the inner
 transform — valid because the domain roots form a consistent tower
 (w_n = ROOT^(2^(28-k)), so w_{2^24}^{n2} == w_{n1}). The level-2
