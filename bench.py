@@ -247,20 +247,12 @@ def host_base_points(n: int):
 def _is_transport_error(e: Exception) -> bool:
     """Remote-compile relay hiccup (HTTP body cut, connection reset):
     retryable — the compile service recovers; round 3's 2^24 MSM died
-    on exactly this with no retry (BENCH_r03 msm_2e24_error)."""
-    s = f"{type(e).__name__}: {e}"
-    return any(
-        m in s
-        for m in (
-            "remote_compile",
-            "read body",
-            "connection reset",
-            "Connection reset",
-            "EOF",
-            "502",
-            "503",
-        )
-    )
+    on exactly this with no retry (BENCH_r03 msm_2e24_error). The
+    signature list lives in the library's failure-recovery tier
+    (utils/retry.py), which api.Backend uses for real proves."""
+    from noir_backend_using_gnark_tpu.utils.retry import is_transient
+
+    return is_transient(e)
 
 
 def with_retry(fn, label: str, tries: int = 2):

@@ -24,6 +24,7 @@ from .plonk import prove as plonk_prove
 from .plonk import setup as plonk_setup
 from .plonk import verify as plonk_verify
 from .utils import bigint, metrics
+from .utils.retry import retry_transient
 
 R = bigint.FR_MODULUS
 
@@ -152,8 +153,13 @@ class Backend:
                 from .groth16 import groth16
 
                 g16pk = artifacts.groth16_pk_from_bytes(proving_key)
-                proof = groth16.prove(
-                    g16pk, [v % R for v in values], self.config.prover_seed
+                # Deterministic given the seed, so a retry after a
+                # compile-relay transport cut reproduces the same proof.
+                proof = retry_transient(
+                    lambda: groth16.prove(
+                        g16pk, [v % R for v in values], self.config.prover_seed
+                    ),
+                    "groth16.prove",
                 )
                 return artifacts.groth16_proof_to_bytes(proof)
             pc = lowering.lower_to_plonk(circuit)
@@ -167,12 +173,15 @@ class Backend:
                     "or point --srs-path at the original cache"
                 )
             assignment = lowering.build_assignment(pc, [v % R for v in values])
-            proof = plonk_prove.prove(
-                pk,
-                assignment,
-                self.config.prover_seed,
-                mesh=self.mesh(),
-                protocol=self.config.proof_format,
+            proof = retry_transient(
+                lambda: plonk_prove.prove(
+                    pk,
+                    assignment,
+                    self.config.prover_seed,
+                    mesh=self.mesh(),
+                    protocol=self.config.proof_format,
+                ),
+                "plonk.prove",
             )
             return artifacts.proof_to_bytes(proof)
 

@@ -42,6 +42,7 @@ import numpy as np
 
 from . import curve as C
 from . import field as F
+from ..utils import sanitize
 
 FR = F.FR
 FQ = F.FQ
@@ -339,6 +340,11 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     if scalars.shape[-1] != n:
         raise ValueError("points/scalars length mismatch")
     px, py, pinf = points.x, points.y, points.inf
+    if sanitize.enabled():  # debug tier: sampled on-curve + scalar range
+        sanitize.check_g1_affine(
+            px, py, FQ.modulus, "ops.msm.points", mont=True, inf=pinf
+        )
+        sanitize.check_field(scalars, FR.modulus, "ops.msm.scalars")
     # c > 7 overflows the pallas kernel's int8 digit stream — route
     # such explicit overrides through the XLA path instead.
     if _use_pallas(n) and (c is None or c <= 7):

@@ -31,7 +31,7 @@ from ..ops import msm as M
 from ..ops import ntt as N
 from ..ops import poly as P
 from ..ops import scan_utils
-from ..utils import bigint, metrics
+from ..utils import bigint, metrics, sanitize
 from .keys import Proof, ProvingKey, ZETA_OPENING_LABELS
 from .setup import K1, K2
 from .transcript import Transcript
@@ -365,6 +365,7 @@ def _prove_impl(
         com_a = ops.commit(pk.srs, a_c)
         com_b = ops.commit(pk.srs, b_c)
         com_c = ops.commit(pk.srs, c_c)
+    sanitize.check_field(wires_b, R, "prove.round1.wires")
 
     if protocol == "gnark":
         from . import gnark_protocol as GP
@@ -418,6 +419,7 @@ def _prove_impl(
             ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
         )
         com_z = ops.commit(pk.srs, z_c)
+    sanitize.check_field(z_c, R, "prove.round2.z")
     if protocol == "gnark":
         alpha = GP.derive_randomness(gts, "alpha", (com_z,))
     else:
@@ -482,6 +484,7 @@ def _prove_impl(
         com_t0 = ops.commit(pk.srs, t0_c)
         com_t1 = ops.commit(pk.srs, t1_c)
         com_t2 = ops.commit(pk.srs, t2_c)
+    sanitize.check_field(t_c, R, "prove.round3.quotient")
     if protocol == "gnark":
         zeta = GP.derive_randomness(gts, "zeta", (com_t0, com_t1, com_t2))
         with metrics.phase("round45.gnark_openings"):
