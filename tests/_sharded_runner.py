@@ -148,7 +148,7 @@ def main(argv) -> int:
 GROUPS = [
     # prover stack (shares NTT/KZG/plonk modules) — the critical path
     ["test_programs.py", "test_plonk.py", "test_gnark_protocol.py",
-     "test_gnark_format.py"],
+     "test_gnark_format.py", "test_sanitize.py"],
     # G2/Groth16 stack (shares field+curve2 modules; grouping all four
     # curve files in one child crossed the jaxlib crash horizon)
     ["test_groth16.py", "test_curve2.py"],
