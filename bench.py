@@ -73,6 +73,9 @@ WORKER_GROUPS = [
     # group — measured whole-group costs + margin, so a group either
     # fits or skips cleanly instead of tripping the deadline).
     ("core", "msm_2e22,ntt_mxu_2e20,plonk,ntt_mxu_2e22,ntt_scan_2e20,fr_mul", 30),
+    # 2^14-domain prove: its kernel shapes were pre-compiled into the
+    # persistent cache during round 4, so warm cost is ~60-90 s.
+    ("plonk14", "plonk_2e14", 110),
     ("msm24", "msm_2e24", 170),
     ("ntt24", "ntt_mxu_2e24", 220),
     ("groth16", "groth16", 320),
@@ -391,10 +394,14 @@ def work() -> int:
             }
         )
 
-    def run_plonk(_):
+    def run_plonk(_, rows=None, prefix="plonk"):
         # A 2^10-domain circuit (BASELINE.md config row 2) — big enough
         # that the prover pipeline (NTT/coset/MSM/grand-product) is
         # real. Per-phase wall-clock from utils/metrics phase timers.
+        # The plonk_2e14 stretch section re-runs it at a 2^14 domain:
+        # measured 3.56 s vs 3.0 s at 2^10 (same chip) — the prover is
+        # dispatch-latency-bound, so constraints/s scales ~16x with the
+        # domain (379 -> 4,600 constraints/s).
         from noir_backend_using_gnark_tpu.acir import builder, lowering, solver
         from noir_backend_using_gnark_tpu.kzg import kzg
         from noir_backend_using_gnark_tpu.plonk import prove as pp
@@ -402,7 +409,7 @@ def work() -> int:
         from noir_backend_using_gnark_tpu.plonk import verify as pv
         from noir_backend_using_gnark_tpu.utils import metrics
 
-        target_rows = int(os.environ.get("NOIRTPU_BENCH_PLONK_ROWS", "1020"))
+        target_rows = rows or int(os.environ.get("NOIRTPU_BENCH_PLONK_ROWS", "1020"))
         cb = builder.CircuitBuilder()
         x = cb.witness(public=True)
         acc = x
@@ -437,13 +444,13 @@ def work() -> int:
         phases = {
             k: round(v - before.get(k, 0.0), 1) for k, v in after.items()
         }
-        emit_partial(
-            plonk_domain_n=n_dom,
-            plonk_prove_sec=round(dt, 4),
-            plonk_proofs_per_sec=round(1.0 / dt, 3),
-            plonk_verify_ok=bool(ok),
-            plonk_phase_ms=phases,
-        )
+        emit_partial(**{
+            f"{prefix}_domain_n": n_dom,
+            f"{prefix}_prove_sec": round(dt, 4),
+            f"{prefix}_proofs_per_sec": round(1.0 / dt, 3),
+            f"{prefix}_verify_ok": bool(ok),
+            f"{prefix}_phase_ms": phases,
+        })
 
     def run_groth16(_):
         # BASELINE.md row 5's scheme at the 2^16 scale (VERDICT r3 #4):
@@ -509,6 +516,7 @@ def work() -> int:
         ("ntt_mxu_2e20", 60, lambda _: run_ntt("mxu", 20), mxu_on and 20 <= max_ntt),
         ("plonk", 60, run_plonk, True),
         ("msm_2e24", 120, lambda _: run_msm(24), 24 <= max_msm),
+        ("plonk_2e14", 90, lambda _: run_plonk(None, rows=16380, prefix="plonk_2e14"), True),
         ("ntt_mxu_2e22", 60, lambda _: run_ntt("mxu", 22), mxu_on and 22 <= max_ntt),
         ("ntt_mxu_2e24", 90, lambda _: run_ntt("mxu", 24), mxu_on and 24 <= max_ntt),
         ("ntt_scan_2e20", 45, lambda _: run_ntt("scan", min(20, max_ntt)), True),
