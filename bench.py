@@ -2,8 +2,8 @@
 
 Headline: BN254 Pippenger MSM throughput (points/s) at the largest
 power-of-two size that completes within the time budget, on whatever
-accelerator the ambient JAX platform provides (TPU under axon; CPU as
-fallback).
+accelerator the ambient JAX install provides (TPU if present; CPU as
+fallback). No platform is forced: ``jax.devices()`` decides.
 
 vs_baseline normalizes against 1e6 points/s — the documented ballpark
 of gnark v0.8's CPU Pippenger (~1 us/point/core; the reference
@@ -275,7 +275,8 @@ def with_retry(fn, label: str, tries: int = 2):
 
 
 def work() -> int:
-    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    # Ambient platform: whatever jax.devices() resolves to (TPU plugin,
+    # stock libtpu, or CPU) — no hard-coded platform names here.
     signal.signal(signal.SIGTERM, lambda *_: _TERM.__setitem__("flag", True))
 
     import traceback
@@ -297,9 +298,9 @@ def work() -> int:
     rng = np.random.RandomState(7)
 
     def sync(x):
-        """Force real completion: under the axon relay,
-        jax.block_until_ready returns at remote-enqueue time, so all
-        timings MUST be closed by a dependent host readback."""
+        """Force real completion: remote-device transports can return
+        from jax.block_until_ready at enqueue time, so all timings MUST
+        be closed by a dependent host readback."""
         return np.asarray(jax.tree_util.tree_leaves(x)[0])[..., :1]
 
     def rand_fr_limbs(n):

@@ -153,8 +153,12 @@ class Backend:
                 from .groth16 import groth16
 
                 g16pk = artifacts.groth16_pk_from_bytes(proving_key)
-                # Deterministic given the seed, so a retry after a
-                # compile-relay transport cut reproduces the same proof.
+                # With a fixed config.prover_seed a retry after a
+                # compile-relay transport cut reproduces the same proof
+                # bytes; with seed=None each attempt draws fresh
+                # blinding (still a valid proof). Either way a retried
+                # attempt re-enters the phase timers, so treat per-phase
+                # wall-clock as inflated whenever retry.* counters > 0.
                 proof = retry_transient(
                     lambda: groth16.prove(
                         g16pk, [v % R for v in values], self.config.prover_seed
@@ -173,6 +177,9 @@ class Backend:
                     "or point --srs-path at the original cache"
                 )
             assignment = lowering.build_assignment(pc, [v % R for v in values])
+            # Same caveats as the groth16 branch above: byte-identical
+            # retries only under a fixed prover_seed, and retry.* > 0
+            # means the metrics phase timers double-counted an attempt.
             proof = retry_transient(
                 lambda: plonk_prove.prove(
                     pk,

@@ -82,7 +82,16 @@ def dist_msm(
     n_dev = mesh.devices.size
     c = c or M.default_window_bits(max(1, n // n_dev))
     lanes = M._lanes_for(max(1, n // n_dev), c)
-    from ..utils import metrics
+    from ..utils import metrics, sanitize
+
+    if sanitize.enabled():
+        # Same entry tripwires as ops.msm.msm — mesh proves route their
+        # commits here and must not silently lose sanitizer coverage.
+        sanitize.check_g1_affine(
+            points.x, points.y, F.FQ.modulus, "dist_msm.points",
+            mont=True, inf=points.inf,
+        )
+        sanitize.check_field(scalars, FR.modulus, "dist_msm.scalars")
 
     # Fabric traffic of the bucket all_gather: 3 Jacobian coordinate
     # planes of (16, W, B_buckets) uint32 per device, each received by

@@ -20,30 +20,48 @@ same proof bytes — retry is always semantically safe here.
 
 from __future__ import annotations
 
+import re
 import time
 
 from . import metrics
 
-#: Substrings identifying infrastructure errors that historically
+#: Anchored patterns identifying infrastructure errors that historically
 #: recovered on retry (compile-relay transport cuts, service hiccups).
-TRANSIENT_SIGNATURES = (
-    "remote_compile",
-    "read body",
-    "connection reset",
-    "Connection reset",
-    "EOF",
-    "502",
-    "503",
-    "UNAVAILABLE",
-    "DEADLINE_EXCEEDED",
+#: Word-boundary anchors keep incidental matches out: a message that
+#: merely contains "element 5023" or an EOFError raised by a local pipe
+#: must NOT trigger a useless 10 s retry pause.
+TRANSIENT_PATTERNS = tuple(
+    re.compile(p)
+    for p in (
+        r"remote_compile",
+        r"\bread body\b",
+        r"(?i)\bconnection reset\b",
+        r"\bunexpected EOF\b",
+        r"\bEOF while\b",
+        r"\bHTTP(?:/\d\.\d)?\"? (?:status )?50[23]\b",
+        r"\b50[23] (?:Bad Gateway|Service Unavailable)\b",
+        r"\bUNAVAILABLE\b",
+        r"\bDEADLINE_EXCEEDED\b",
+    )
 )
 
 
 def is_transient(e: BaseException) -> bool:
     """Heuristic: does this exception look like a recoverable
-    infrastructure failure (vs a real program/math error)?"""
+    infrastructure failure (vs a real program/math error)?
+
+    Matches anchored signatures against the rendered exception; the
+    exception *type* name is included so typed transport errors (e.g.
+    ``XlaRuntimeError: UNAVAILABLE ...``) classify without string
+    spelunking, but plain ``EOFError``/``OSError`` from local IO do
+    not match any pattern and propagate immediately.
+    """
     s = f"{type(e).__name__}: {e}"
-    return any(m in s for m in TRANSIENT_SIGNATURES)
+    return any(p.search(s) for p in TRANSIENT_PATTERNS)
+
+
+#: Backwards-compatible alias (tests/bench referenced the tuple name).
+TRANSIENT_SIGNATURES = tuple(p.pattern for p in TRANSIENT_PATTERNS)
 
 
 def retry_transient(fn, label: str, tries: int = 2, pause_s: float = 10.0):

@@ -36,7 +36,10 @@ import numpy as np
 from ..errors import BackendError
 from . import bigint
 
-_STATE = {"on": os.environ.get("NOIRTPU_SANITIZE", "") not in ("", "0")}
+#: ``None`` = follow the env var (re-read on every check, so setting
+#: ``NOIRTPU_SANITIZE=1`` after import works like ``jax_debug_nans``);
+#: ``True``/``False`` = explicit :func:`enable` override wins.
+_STATE: dict = {"override": None}
 
 
 class SanitizeError(BackendError):
@@ -44,11 +47,13 @@ class SanitizeError(BackendError):
 
 
 def enable(on: bool = True) -> None:
-    _STATE["on"] = on
+    _STATE["override"] = on
 
 
 def enabled() -> bool:
-    return _STATE["on"]
+    if _STATE["override"] is not None:
+        return _STATE["override"]
+    return os.environ.get("NOIRTPU_SANITIZE", "") not in ("", "0")
 
 
 def _to_host(arr) -> np.ndarray:
@@ -63,7 +68,7 @@ def check_field(arr, modulus: int, where: str) -> None:
     Montgomery form doesn't matter — a Montgomery representative is a
     field element like any other and must itself be canonical.
     """
-    if not _STATE["on"]:
+    if not enabled():
         return
     a = _to_host(arr)
     if a.ndim < 1 or a.shape[0] != bigint.NUM_LIMBS:
@@ -116,7 +121,7 @@ def check_g1_affine(
     A full on-curve sweep at 2^24 points would cost more than the MSM
     it guards, hence sampling.
     """
-    if not _STATE["on"]:
+    if not enabled():
         return
     xs = _to_host(x_arr).reshape(bigint.NUM_LIMBS, -1)
     ys = _to_host(y_arr).reshape(bigint.NUM_LIMBS, -1)

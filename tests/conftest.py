@@ -2,8 +2,8 @@
 
 Environment subtleties this file works around:
 
-  * the machine's sitecustomize imports jax at interpreter start (to
-    register the TPU relay plugin) with ``JAX_PLATFORMS=axon``, so by
+  * some hosts import jax at interpreter start (via sitecustomize, to
+    register an accelerator plugin), so by
     the time pytest runs, XLA_FLAGS has already been consumed by
     jaxlib. Env-var edits from here would be silently ignored —
     therefore the process RE-EXECS itself once with the corrected

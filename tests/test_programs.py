@@ -37,6 +37,31 @@ def test_all_reference_programs_present():
     assert ALL_PROGRAMS == sorted(REFERENCE_PROGRAMS + EXTRA_PROGRAMS)
 
 
+def test_every_package_documents_provenance():
+    """Every committed program documents where its ACIR came from.
+
+    Reference-derived packages carry the original Noir source
+    (src/main.nr + Nargo.toml, copied from the reference suite's
+    tests/test_programs/<name>) so any machine with the lambdaclass
+    nargo fork can regenerate/diff the ACIR via tools/regen_acir.sh;
+    repo-local extras carry a PROVENANCE.md instead.
+    """
+    for name in ALL_PROGRAMS:
+        pkg = PROGRAMS_DIR / name
+        assert (pkg / "circuit.acir.json").is_file(), f"{name}: no ACIR"
+        if name in REFERENCE_PROGRAMS:
+            assert (pkg / "src" / "main.nr").is_file(), (
+                f"{name}: reference program missing its Noir source "
+                "(needed for ACIR regeneration, tools/regen_acir.sh)"
+            )
+            assert (pkg / "Nargo.toml").is_file(), f"{name}: no Nargo.toml"
+        else:
+            assert (pkg / "PROVENANCE.md").is_file(), (
+                f"{name}: extra program must document its origin in "
+                "PROVENANCE.md"
+            )
+
+
 def test_range_program_full_pipeline(tmp_path, monkeypatch):
     """A committed program whose ACIR RETAINS a RANGE BlackBoxFuncCall
     (advisor r3): solve enforces the bound, lowering emits no
