@@ -172,6 +172,50 @@ def _dbl_mod(a):
 # ---------------------------------------------------------------------------
 
 
+def _add_mixed_fast_ll(x1, y1, z1, qx, qy, q_inf):
+    """ADD-path-only mixed add (11 mont_muls vs 18 for the complete
+    formula): the hot path of the round-5 kernel.
+
+    The doubling branch of the complete add is only *needed* when the
+    bucket's affine x equals the incoming point's (h == 0) — for
+    generic inputs that is a partial-sum collision with probability
+    ~2^-254 per add, plus the benign structured cases (first add into
+    an empty bucket = p_inf, zero digit = q_inf) which cost selects,
+    not muls. So this returns a ``special`` mask flagging h == 0 lanes
+    (true double or P + (-P) annihilation); the kernel re-runs those
+    steps through :func:`_add_mixed_ll` under a ``pl.when`` scalar
+    branch. Removing the always-computed doubling path cut the
+    per-step mont_mul count 18 -> 11 (~1.5x on a VPU-peak-bound
+    kernel, round-4 verdict item #1).
+    """
+    z1z1 = _mont_mul(z1, z1)
+    u2 = _mont_mul(qx, z1z1)
+    z1c = _mont_mul(z1, z1z1)
+    s2 = _mont_mul(qy, z1c)
+    h = _sub_mod(u2, x1)
+    r = _sub_mod(s2, y1)
+    hh = _mont_mul(h, h)
+    hhh = _mont_mul(h, hh)
+    v = _mont_mul(x1, hh)
+    rr = _mont_mul(r, r)
+    x3 = _sub_mod(_sub_mod(rr, hhh), _dbl_mod(v))
+    y3 = _sub_mod(_mont_mul(r, _sub_mod(v, x3)), _mont_mul(y1, hhh))
+    z3 = _mont_mul(z1, h)
+
+    p_inf = _is_zero_ll(z1)
+    one = _const_ll(_ONE_MONT, x1[0])
+    # P = infinity: result is Q lifted to z=1.
+    ox = _select_ll(p_inf, qx, x3)
+    oy = _select_ll(p_inf, qy, y3)
+    oz = _select_ll(p_inf, one, z3)
+    # Q = infinity (zero digit / padding): result is P.
+    ox = _select_ll(q_inf, x1, ox)
+    oy = _select_ll(q_inf, y1, oy)
+    oz = _select_ll(q_inf, z1, oz)
+    special = _is_zero_ll(h) & (~p_inf) & (~q_inf)
+    return ox, oy, oz, special
+
+
 def _add_mixed_ll(x1, y1, z1, qx, qy, q_inf):
     """Complete P + Q with Q affine; mirrors ops/curve.add_mixed
     (add + dbl paths evaluated, lane selects for the special cases).
@@ -340,29 +384,56 @@ def _accum_kernel(
 
     # Gather the addressed bucket per (window, lane) with an unrolled
     # select chain over the small bucket axis (per-lane VMEM gathers
-    # don't vectorize on TPU; B dense (Wc, L) selects do).
-    cx = [tbl_ref[0, limb, 0] for limb in range(NL)]
-    cy = [tbl_ref[0, NL + limb, 0] for limb in range(NL)]
-    cz = [tbl_ref[0, 2 * NL + limb, 0] for limb in range(NL)]
-    for b in range(1, nb):
+    # don't vectorize on TPU; B dense (Wc, L) selects do). Bucket 0 is
+    # never written (digit 0 = q_inf no-op, masked out of the
+    # writeback below), so the chain starts at bucket 1 — d==0 lanes
+    # gather a don't-care value that the q_inf select discards.
+    cx = [tbl_ref[0, limb, 1] for limb in range(NL)]
+    cy = [tbl_ref[0, NL + limb, 1] for limb in range(NL)]
+    cz = [tbl_ref[0, 2 * NL + limb, 1] for limb in range(NL)]
+    for b in range(2, nb):
         hit = d == b
         cx = _select_ll(hit, [tbl_ref[0, limb, b] for limb in range(NL)], cx)
         cy = _select_ll(hit, [tbl_ref[0, NL + limb, b] for limb in range(NL)], cy)
         cz = _select_ll(hit, [tbl_ref[0, 2 * NL + limb, b] for limb in range(NL)], cz)
 
-    nx, ny, nz = _add_mixed_ll(cx, cy, cz, qx, qy, q_inf)
+    nx, ny, nz, special = _add_mixed_fast_ll(cx, cy, cz, qx, qy, q_inf)
 
-    # Masked writeback: only the addressed bucket row changes.
-    for b in range(nb):
-        hit = d == b
-        for limb in range(NL):
-            tbl_ref[0, limb, b] = jnp.where(hit, nx[limb], tbl_ref[0, limb, b])
-            tbl_ref[0, NL + limb, b] = jnp.where(
-                hit, ny[limb], tbl_ref[0, NL + limb, b]
-            )
-            tbl_ref[0, 2 * NL + limb, b] = jnp.where(
-                hit, nz[limb], tbl_ref[0, 2 * NL + limb, b]
-            )
+    def _writeback(wx, wy, wz):
+        # Masked writeback: only the addressed bucket row changes
+        # (bucket 0 untouched — zero digits contribute nothing).
+        for b in range(1, nb):
+            hit = d == b
+            for limb in range(NL):
+                tbl_ref[0, limb, b] = jnp.where(
+                    hit, wx[limb], tbl_ref[0, limb, b]
+                )
+                tbl_ref[0, NL + limb, b] = jnp.where(
+                    hit, wy[limb], tbl_ref[0, NL + limb, b]
+                )
+                tbl_ref[0, 2 * NL + limb, b] = jnp.where(
+                    hit, wz[limb], tbl_ref[0, 2 * NL + limb, b]
+                )
+
+    # Scalar branch on the RARE cases (true doubling / P+(-P)): the
+    # common step writes the 11-mul fast result; a step containing any
+    # flagged lane recomputes through the complete 18-mul formula and
+    # patches just those lanes. Both bodies exist in the compiled
+    # kernel but only one executes per step.
+    any_special = jnp.max(special.astype(jnp.int32)) > 0
+
+    @pl.when(jnp.logical_not(any_special))
+    def _fast():
+        _writeback(nx, ny, nz)
+
+    @pl.when(any_special)
+    def _slow():
+        fx, fy, fz = _add_mixed_ll(cx, cy, cz, qx, qy, q_inf)
+        _writeback(
+            _select_ll(special, fx, nx),
+            _select_ll(special, fy, ny),
+            _select_ll(special, fz, nz),
+        )
 
     # In-kernel lane fold on the LAST step: Hillis-Steele with wrapping
     # rolls — after log2(L) rounds every lane holds the lane-sum, so
