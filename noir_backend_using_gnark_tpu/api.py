@@ -161,7 +161,10 @@ class Backend:
                 # wall-clock as inflated whenever retry.* counters > 0.
                 proof = retry_transient(
                     lambda: groth16.prove(
-                        g16pk, [v % R for v in values], self.config.prover_seed
+                        g16pk,
+                        [v % R for v in values],
+                        self.config.prover_seed,
+                        mesh=self.mesh(),
                     ),
                     "groth16.prove",
                 )

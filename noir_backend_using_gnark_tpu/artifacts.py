@@ -189,6 +189,148 @@ def load_srs(path: str | None = None):
         return srs_from_bytes(bytes.fromhex(f.read().strip()))
 
 
+def _limbs_to_be_bytes(limbs) -> "np.ndarray":
+    """(16, n) uint32 canonical LE-limb array -> (n, 32) big-endian bytes
+    (vectorized — the per-point Python loop of formats.gnark.g1_bytes is
+    unusable at the reference's 2^20-point SRS scale)."""
+    import numpy as np
+
+    limbs = np.asarray(limbs)
+    n = limbs.shape[1]
+    out = np.zeros((n, 32), np.uint8)
+    for i in range(16):  # limb i covers BE bytes [30-2i, 31-2i]
+        out[:, 30 - 2 * i] = (limbs[i] >> 8).astype(np.uint8)
+        out[:, 31 - 2 * i] = (limbs[i] & 0xFF).astype(np.uint8)
+    return out
+
+
+def _be_bytes_to_limbs(raw) -> "np.ndarray":
+    """(n, 32) big-endian byte matrix -> (16, n) uint32 limb array."""
+    import numpy as np
+
+    raw = np.asarray(raw, np.uint8)
+    out = np.zeros((16, raw.shape[0]), np.uint32)
+    for i in range(16):
+        out[i] = (raw[:, 30 - 2 * i].astype(np.uint32) << 8) | raw[:, 31 - 2 * i]
+    return out
+
+
+def _limbs_lex_ge(limbs, const_int: int) -> "np.ndarray":
+    """Vectorized per-element ``value >= const`` on (16, n) limb arrays."""
+    import numpy as np
+
+    cl = bigint.int_to_limbs(const_int)
+    n = limbs.shape[1]
+    result = np.zeros(n, bool)
+    decided = np.zeros(n, bool)
+    for i in range(15, -1, -1):
+        li = limbs[i]
+        result |= ~decided & (li > cl[i])
+        decided |= li != cl[i]
+    return result | ~decided  # equal -> >= holds
+
+
+def save_srs_gnark(srs, path: str) -> str:
+    """Write the SRS in the gnark-crypto ``kzg.SRS.WriteTo`` layout,
+    hex-encoded like the reference cache (backend/common.go:86-125):
+    G2 gen ‖ G2 alpha (compressed, 64 B) ‖ u32 BE count ‖ 32 B
+    compressed G1 points. Vectorized (numpy byte packing + one device
+    from_mont) so a 2^20-point SRS serializes in seconds.
+    """
+    import numpy as np
+
+    from .formats import gnark as GK
+    from .ops import field as F
+
+    xs = np.asarray(F.from_mont(srs.g1_powers.x, F.FQ))
+    ys = np.asarray(F.from_mont(srs.g1_powers.y, F.FQ))
+    inf = np.asarray(srs.g1_powers.inf)
+    pts = _limbs_to_be_bytes(xs)
+    largest = _limbs_lex_ge(ys, (Q + 1) // 2)
+    flags = np.where(largest, _FLAG_COMPRESSED_LARGEST, _FLAG_COMPRESSED_SMALLEST)
+    pts[:, 0] |= flags.astype(np.uint8)
+    pts[inf] = 0
+    pts[inf, 0] = _FLAG_INFINITY
+    header = (
+        GK.g2_bytes_compressed(srs.g2_gen)
+        + GK.g2_bytes_compressed(srs.g2_alpha)
+        + struct.pack(">I", pts.shape[0])
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(header.hex())
+        f.write(pts.tobytes().hex())
+    return path
+
+
+def load_srs_gnark(path: str):
+    """Read a gnark-layout ``srs.hex`` (see :func:`save_srs_gnark`).
+
+    G1 decompression is TPU-native: the x coordinates upload as one
+    limb batch and the y square roots come from a single batched
+    ``(x^3+3)^((q+1)/4)`` device exponentiation (BN254 q = 3 mod 4) —
+    ~500 batched field muls total instead of 2^20 sequential host
+    Tonelli steps. The smallest/largest flag picks the sign.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .formats import gnark as GK
+    from .kzg.kzg import SRS
+    from .ops import field as F
+    from .ops import msm as M
+
+    with open(path) as f:
+        data = bytes.fromhex(f.read().strip())
+    off = 0
+    g2_gen, off = GK.g2_read_compressed(data, off)
+    g2_alpha, off = GK.g2_read_compressed(data, off)
+    (count,) = struct.unpack(">I", data[off : off + 4])
+    off += 4
+    if len(data) < off + 32 * count:
+        raise DeserializeKeyError("gnark SRS: truncated point section")
+    raw = (
+        np.frombuffer(data, np.uint8, count=32 * count, offset=off)
+        .reshape(count, 32)
+        .copy()
+    )
+    flags = raw[:, 0] & _FLAG_MASK
+    if (flags == _FLAG_UNCOMPRESSED).any():
+        raise DeserializeKeyError("gnark SRS: uncompressed points unsupported")
+    raw[:, 0] &= ~_FLAG_MASK & 0xFF
+    inf = flags == _FLAG_INFINITY
+    x_limbs = _be_bytes_to_limbs(raw)
+
+    x_m = F.to_mont(jnp.asarray(x_limbs), F.FQ)
+    three = F.from_ints([3], F.FQ)
+    rhs = F.add(
+        F.mont_mul(F.mont_mul(x_m, x_m, F.FQ), x_m, F.FQ),
+        jnp.broadcast_to(three, x_m.shape),
+        F.FQ,
+    )
+    y_m = F.mont_pow_const(rhs, (Q + 1) // 4, F.FQ)
+    if not bool(
+        jnp.all(F.eq(F.mont_mul(y_m, y_m, F.FQ), rhs) | jnp.asarray(inf))
+    ):
+        raise DeserializeKeyError("gnark SRS: point x with no square root")
+    y_can = np.asarray(F.from_mont(y_m, F.FQ))
+    y_is_largest = _limbs_lex_ge(y_can, (Q + 1) // 2)
+    want_largest = flags == _FLAG_COMPRESSED_LARGEST
+    # Negate where the stored sign disagrees: q - y, vectorized borrow.
+    neg = np.empty_like(y_can)
+    q_limbs = bigint.int_to_limbs(Q)
+    borrow = np.zeros(count, np.uint32)
+    for i in range(16):
+        d = q_limbs[i] + (1 << 16) - y_can[i] - borrow
+        neg[i] = d & 0xFFFF
+        borrow = 1 - (d >> 16)
+    flip = (want_largest != y_is_largest) & ~inf
+    y_sel = np.where(flip[None, :], neg, y_can).astype(np.uint32)
+    y_final = F.to_mont(jnp.asarray(y_sel), F.FQ)
+    batch = M.AffineBatch(x_m, y_final, jnp.asarray(inf))
+    return SRS(g1_powers=batch, g2_gen=g2_gen, g2_alpha=g2_alpha)
+
+
 def try_load_srs(size: int, path: str | None = None, alpha: int | None = None):
     """Load-else-generate-and-save (TryLoadSRS, common.go:127-144).
 

@@ -341,13 +341,35 @@ def _scalars_dev(scalars, pad_to: int):
     return F.from_ints(padded, FR, to_mont=False)
 
 
-def _g1_batch(scalars) -> M.AffineBatch:
+def _g1_batch(scalars, mesh=None) -> M.AffineBatch:
     """[s_i]G1 for host scalars (ints or u64x4), via the device
-    fixed-base path."""
+    fixed-base path.
+
+    With ``mesh`` the scalar batch is sharded across the mesh and each
+    device runs the fixed-base scan on its slice (embarrassingly
+    parallel — no collectives; the 256-entry generator table is
+    replicated). Results are bit-identical to single-chip."""
     n = scalars.shape[0] if isinstance(scalars, np.ndarray) else len(scalars)
     tx, ty = C.generator_powers_table(256)
     sc = _scalars_dev(scalars, _size_class(n))
-    jac = C.fixed_base_mul(tx, ty, sc)
+    if mesh is not None and sc.shape[-1] % mesh.devices.size == 0:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.mesh import SHARD_AXIS
+
+        fixed = shard_map(
+            lambda s: C.fixed_base_mul(tx, ty, s),
+            mesh=mesh,
+            in_specs=PS(None, SHARD_AXIS),
+            out_specs=C.JacobianPoint(
+                PS(None, SHARD_AXIS), PS(None, SHARD_AXIS), PS(None, SHARD_AXIS)
+            ),
+            check_vma=False,
+        )
+        jac = fixed(sc)
+    else:
+        jac = C.fixed_base_mul(tx, ty, sc)
     ax, ay, inf = C.to_affine(jac)
     return M.AffineBatch(ax[:, :n], ay[:, :n], inf[:n])
 
@@ -366,10 +388,13 @@ def _g2_batch(scalars) -> list:
     return C2.to_affine2_host(jac)[:n]
 
 
-def setup(r1cs: R1CS, rng_seed: bytes | None = None):
+def setup(r1cs: R1CS, rng_seed: bytes | None = None, mesh=None):
     """Groth16 Setup. Toxic waste is drawn from the seed/urandom and
     discarded (same trust model as the reference's random SRS alpha,
-    backend/common.go:137)."""
+    backend/common.go:137). ``mesh`` shards the G1 query fixed-base
+    batches across devices (G2 fixed-base stays single-chip — its
+    batch is the same size but FQ2 doubles the work; sharding it is
+    tracked as a follow-up). Keys are mesh-invariant bit-for-bit."""
     import hashlib
 
     seed = rng_seed if rng_seed is not None else os.urandom(32)
@@ -429,10 +454,10 @@ def setup(r1cs: R1CS, rng_seed: bytes | None = None):
     pk = Groth16ProvingKey(
         r1cs=r1cs,
         n=n,
-        a_query=_g1_batch(a_t),
-        b1_query=_g1_batch(b_t),
-        l_query=_g1_batch(l_scalars),
-        h_query=_g1_batch(h_scalars),
+        a_query=_g1_batch(a_t, mesh),
+        b1_query=_g1_batch(b_t, mesh),
+        l_query=_g1_batch(l_scalars, mesh),
+        h_query=_g1_batch(h_scalars, mesh),
         b2_query=_g2_batch(b_t),
         alpha1=H.g1_mul(g1, alpha),
         beta1=H.g1_mul(g1, beta),
@@ -452,9 +477,12 @@ def setup(r1cs: R1CS, rng_seed: bytes | None = None):
     return pk, vk
 
 
-def _device_msm_ints(batch: M.AffineBatch, scalars):
+def _device_msm_ints(batch: M.AffineBatch, scalars, mesh=None):
     """Pippenger over a pk query batch. ``scalars``: list of ints,
-    (k, 4) u64 limb array, or a ready (16, k) device canonical array."""
+    (k, 4) u64 limb array, or a ready (16, k) device canonical array.
+    With ``mesh``, routes through the distributed bucket-fold MSM
+    (parallel/dist_msm.py) — same values, so proof bytes are
+    mesh-invariant (mirrors plonk's _TransformOps.commit)."""
     is_u64x4 = (
         isinstance(scalars, np.ndarray)
         and scalars.dtype == np.uint64
@@ -479,29 +507,42 @@ def _device_msm_ints(batch: M.AffineBatch, scalars):
         )
     elif nc < batch.n:
         batch = M.AffineBatch(batch.x[:, :nc], batch.y[:, :nc], batch.inf[:nc])
-    out = M.msm(batch, sc)
+    if mesh is not None:
+        from ..parallel import dist_msm
+
+        out = dist_msm.dist_msm(mesh, batch, sc)
+    else:
+        out = M.msm(batch, sc)
     return C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
 
 
-def _h_poly_device(a_e, b_e, c_e, n: int, dom) -> jax.Array:
+def _h_poly_device(a_e, b_e, c_e, n: int, dom, mesh=None) -> jax.Array:
     """Device tail of the H computation: ONE batched INTT + coset NTT
     over the stacked (16, 3, n) row evaluations, then the coset
     division — returns h coefficients (16, n) in CANONICAL form (ready
-    as MSM scalars; degree < n-1 so the last columns are zero)."""
+    as MSM scalars; degree < n-1 so the last columns are zero).
+
+    ``mesh`` routes every transform through the sharded four-step
+    all_to_all NTT exactly like the PLONK prover (the _TransformOps
+    dispatcher is shared — plonk/prove.py); coefficients are
+    mesh-invariant so the proof bytes match single-chip."""
+    from ..plonk.prove import _TransformOps
+
+    ops = _TransformOps(mesh)
     shift = bigint.FR_MULTIPLICATIVE_GENERATOR
     stacked = jnp.stack([a_e, b_e, c_e], axis=1)  # (16, 3, n)
-    coeffs = N.intt(stacked, dom)
-    evals_s = N.coset_ntt(coeffs, shift, dom)
+    coeffs = ops.intt(stacked, dom)
+    evals_s = ops.coset_ntt(coeffs, shift, dom)
     a_s, b_s, c_s = evals_s[:, 0], evals_s[:, 1], evals_s[:, 2]
     num = F.sub(F.mont_mul(a_s, b_s, FR), c_s, FR)
     z_coset = (pow(shift, n, R) - 1) % R  # Z(g*w^i) = g^n - 1, constant
     zi = F.from_ints([pow(z_coset, -1, R)], FR)
     h_s = F.mont_mul(num, jnp.broadcast_to(zi.reshape(16, 1), num.shape), FR)
-    h_c = N.coset_intt(h_s, shift, dom)
+    h_c = ops.coset_intt(h_s, shift, dom)
     return F.from_mont(h_c, FR)
 
 
-def _h_coefficients_dev(r1cs: R1CS, w: np.ndarray, n: int) -> jax.Array:
+def _h_coefficients_dev(r1cs: R1CS, w: np.ndarray, n: int, mesh=None) -> jax.Array:
     """Native path: spmv row evaluations (Montgomery out) -> device H
     pipeline. Returns (16, n) canonical device coefficients."""
     from .. import native
@@ -513,10 +554,10 @@ def _h_coefficients_dev(r1cs: R1CS, w: np.ndarray, n: int) -> jax.Array:
         e = np.zeros((n, 4), np.uint64)
         e[: p[key].n_rows] = native.spmv(p[key], w, out_mont=True)
         evs.append(jnp.asarray(bigint.u64x4_to_limbs16(e)))
-    return _h_poly_device(*evs, n, dom)
+    return _h_poly_device(*evs, n, dom, mesh=mesh)
 
 
-def _h_coefficients(r1cs: R1CS, w: list, n: int) -> list:
+def _h_coefficients(r1cs: R1CS, w: list, n: int, mesh=None) -> list:
     """h(x) = (A(x)B(x) - C(x)) / Z(x) via device NTTs (Python twin of
     :func:`_h_coefficients_dev`; returns host ints)."""
     dom = N.Domain.get(n)
@@ -530,11 +571,21 @@ def _h_coefficients(r1cs: R1CS, w: list, n: int) -> list:
     a_e = rows_eval_vector(r1cs.a_rows)
     b_e = rows_eval_vector(r1cs.b_rows)
     c_e = rows_eval_vector(r1cs.c_rows)
-    h_canon = _h_poly_device(a_e, b_e, c_e, n, dom)
+    h_canon = _h_poly_device(a_e, b_e, c_e, n, dom, mesh=mesh)
     return F.to_ints(h_canon, FR, from_mont=False)[: n - 1]
 
 
-def prove(pk: Groth16ProvingKey, values: list, rng_seed: bytes | None = None) -> Groth16Proof:
+def prove(
+    pk: Groth16ProvingKey,
+    values: list,
+    rng_seed: bytes | None = None,
+    mesh=None,
+) -> Groth16Proof:
+    """Groth16 prove (r1cs.go:32-69 semantics). ``mesh`` distributes
+    the A/B1/H/L G1 MSMs (bucket-fold all_gather) and the H NTTs
+    (four-step all_to_all); the G2 MSM for pi_b stays single-chip (FQ2
+    dist variant tracked as follow-up). Proof bytes are mesh-invariant
+    for a fixed seed (tests/test_parallel.py)."""
     import hashlib
 
     r1cs = pk.r1cs
@@ -557,16 +608,20 @@ def prove(pk: Groth16ProvingKey, values: list, rng_seed: bytes | None = None) ->
     g1 = H.g1_generator()
 
     # Device MSMs for the big linear combinations.
-    sum_aw = _device_msm_ints(pk.a_query, w)
-    sum_bw1 = _device_msm_ints(pk.b1_query, w)
+    sum_aw = _device_msm_ints(pk.a_query, w, mesh)
+    sum_bw1 = _device_msm_ints(pk.b1_query, w, mesh)
     if isinstance(w, np.ndarray):
-        h = _h_coefficients_dev(r1cs, w, pk.n)
+        h = _h_coefficients_dev(r1cs, w, pk.n, mesh)
         w_tail = np.ascontiguousarray(w[npub:])
     else:
-        h = _h_coefficients(r1cs, w, pk.n)
+        h = _h_coefficients(r1cs, w, pk.n, mesh)
         w_tail = w[npub:]
-    sum_h = _device_msm_ints(pk.h_query, h)
-    sum_l = _device_msm_ints(pk.l_query, w_tail) if r1cs.num_vars > npub else None
+    sum_h = _device_msm_ints(pk.h_query, h, mesh)
+    sum_l = (
+        _device_msm_ints(pk.l_query, w_tail, mesh)
+        if r1cs.num_vars > npub
+        else None
+    )
 
     pi_a = H.g1_add(H.g1_add(pk.alpha1, sum_aw), H.g1_mul(pk.delta1, r))
     pi_b1 = H.g1_add(H.g1_add(pk.beta1, sum_bw1), H.g1_mul(pk.delta1, s))

@@ -167,6 +167,59 @@ def _dbl_mod(a):
     return _add_mod(a, a)
 
 
+def _mont_sqr(a):
+    """CIOS Montgomery squaring: the upper-triangle product identity
+    a_i*a_j (+ doubling for i != j) cuts the raw-product multiplies
+    256 -> 136; the interleaved m*p reduction half is unchanged.
+    Valid because at outer iteration i, t[0] (the 2^{16i} limb after i
+    shift-downs) has already received every a_k*a_{i-k} pair (k <=
+    i/2 <= i), so m = t[0]*n0 is exact as in the general CIOS.
+    ~17% fewer vector ops than _mont_mul(a, a); used for the 3
+    squarings of the 11-mul fast add path."""
+    t = [jnp.zeros_like(a[0]) for _ in range(NL + 1)]
+    for i in range(NL):
+        ai = a[i]
+        # After i shift-downs t[k] carries weight 2^{16(i+k)}, so the
+        # product a_i*a_j (weight 2^{16(i+j)}) lands at index j — the
+        # same indexing as the general CIOS. Diagonal term once (at
+        # j = i), off-diagonal terms doubled.
+        prod = ai * ai
+        t[i] = t[i] + (prod & MASK)
+        t[i + 1] = t[i + 1] + (prod >> LIMB_BITS)
+        for j in range(i + 1, NL):
+            prod = ai * a[j]
+            lo2 = (prod & MASK) + (prod & MASK)
+            hi2 = (prod >> LIMB_BITS) + (prod >> LIMB_BITS)
+            # lo2/hi2 < 2^17: t[j] gains at most 2*2^17 + 2*2^16 per
+            # iteration, so t < 96*2^16 < 2^23 — still far under the
+            # uint32 lazy-carry budget (cf. ops/field.mont_mul).
+            t[j] = t[j] + lo2
+            t[j + 1] = t[j + 1] + hi2
+        m = (t[0] * _N0) & MASK
+        for j in range(NL):
+            q = m * _P_LIMBS[j]
+            t[j] = t[j] + (q & MASK)
+            t[j + 1] = t[j + 1] + (q >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS
+        t = t[1:] + [jnp.zeros_like(a[0])]
+        t[0] = t[0] + carry0
+    for _ in range(2):
+        nt = [t[0] & MASK]
+        for j in range(1, NL + 1):
+            nt.append((t[j] & MASK) + (t[j - 1] >> LIMB_BITS))
+        t = nt
+    out, carry = [], jnp.zeros_like(a[0])
+    for j in range(NL + 1):
+        s = t[j] + carry
+        out.append(s & MASK)
+        carry = s >> LIMB_BITS
+    res, top = out[:NL], out[NL]
+    p = [jnp.full_like(a[0], l) for l in _P_LIMBS]
+    d, borrow = _sub_chain(res, p)
+    need_sub = (top > 0) | (borrow == 0)
+    return _select_ll(need_sub, d, res)
+
+
 # ---------------------------------------------------------------------------
 # Complete mixed add (Jacobian += affine), limb-list form
 # ---------------------------------------------------------------------------
@@ -188,16 +241,16 @@ def _add_mixed_fast_ll(x1, y1, z1, qx, qy, q_inf):
     per-step mont_mul count 18 -> 11 (~1.5x on a VPU-peak-bound
     kernel, round-4 verdict item #1).
     """
-    z1z1 = _mont_mul(z1, z1)
+    z1z1 = _mont_sqr(z1)
     u2 = _mont_mul(qx, z1z1)
     z1c = _mont_mul(z1, z1z1)
     s2 = _mont_mul(qy, z1c)
     h = _sub_mod(u2, x1)
     r = _sub_mod(s2, y1)
-    hh = _mont_mul(h, h)
+    hh = _mont_sqr(h)
     hhh = _mont_mul(h, hh)
     v = _mont_mul(x1, hh)
-    rr = _mont_mul(r, r)
+    rr = _mont_sqr(r)
     x3 = _sub_mod(_sub_mod(rr, hhh), _dbl_mod(v))
     y3 = _sub_mod(_mont_mul(r, _sub_mod(v, x3)), _mont_mul(y1, hhh))
     z3 = _mont_mul(z1, h)

@@ -249,10 +249,14 @@ def finish_prove(
     zeta_omega = zeta * omega % R
     zeta_omega_d = F.from_ints([zeta_omega], FR)
 
-    # ---- wire/sigma evaluations (ONE dispatch) + z(omega*zeta) --------
+    # ---- wire/sigma evaluations (ONE dispatch) + z(omega*zeta),
+    # all read back in ONE host transfer ------------------------------
+    import jax.numpy as jnp
+
     eval_arrs = P.eval_many([a_c, b_c, c_c, pk.s1, pk.s2], zeta_d)
-    lb, rb, ob, s1b, s2b = (F.to_ints(v, FR)[0] for v in eval_arrs)
-    z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
+    zw_arr = P.eval_at(z_c, zeta_omega_d)
+    vals = F.to_ints(jnp.concatenate(eval_arrs + [zw_arr], axis=1), FR)
+    lb, rb, ob, s1b, s2b, z_omega_val = vals
 
     zh = (pow(zeta, n, R) - 1) % R
     l1 = _lagrange_one(n, omega, zeta, zh)
@@ -292,12 +296,19 @@ def finish_prove(
     fold_gamma = derive_kzg_fold_gamma(zeta, digests)
 
     # ---- batched opening at zeta + shifted opening of z ---------------
+    # Inlined kzg.batch_open_at: one eval dispatch + one readback for
+    # the 7 claimed values, and both opening commitments land in a
+    # single commit_many readback.
     polys = [foldedh_c, lin_c, a_c, b_c, c_c, pk.s1, pk.s2]
-    w_zeta, claimed = kzg.batch_open_at(
-        pk.srs, polys, zeta_d, fold_gamma, mesh=ops.mesh
-    )
+    weights = [
+        F.from_ints([pow(fold_gamma, i, R)], FR) for i in range(len(polys))
+    ]
+    claimed_arrs = P.eval_many(polys, zeta_d)
+    folded = P.linear_combination(polys, weights)
+    q_fold, _ = P.divide_by_linear(folded, zeta_d)
     q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
-    w_zeta_omega = ops.commit(pk.srs, q_zw)
+    claimed = F.to_ints(jnp.concatenate(claimed_arrs, axis=1), FR)
+    w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return GnarkProof(
         lro=(com_a, com_b, com_c),

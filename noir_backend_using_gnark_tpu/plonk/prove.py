@@ -275,6 +275,13 @@ class _TransformOps:
         metrics.count("prove.dispatch.commit")
         return kzg.commit_ints(srs, coeffs, mesh=self.mesh)
 
+    def commit_many(self, srs, coeff_list: list) -> list:
+        """K commitments, ONE blocking readback (kzg.commit_many_ints).
+        Counted as K commit dispatches to keep the mesh/single-chip
+        dispatch-parity assertions meaningful."""
+        metrics.count("prove.dispatch.commit", len(coeff_list))
+        return kzg.commit_many_ints(srs, coeff_list, mesh=self.mesh)
+
 
 def _coset_evals(coeffs: jax.Array, big_n: int, domain4: N.Domain, ops: _TransformOps) -> jax.Array:
     padded = jnp.pad(coeffs, ((0, 0), (0, big_n - coeffs.shape[1])))
@@ -362,9 +369,7 @@ def _prove_impl(
         )
         a_c, b_c, c_c = wires_b[:, 0], wires_b[:, 1], wires_b[:, 2]
 
-        com_a = ops.commit(pk.srs, a_c)
-        com_b = ops.commit(pk.srs, b_c)
-        com_c = ops.commit(pk.srs, c_c)
+        com_a, com_b, com_c = ops.commit_many(pk.srs, [a_c, b_c, c_c])
     sanitize.check_field(wires_b, R, "prove.round1.wires")
 
     if protocol == "gnark":
@@ -481,9 +486,7 @@ def _prove_impl(
     t1_c = t_c[:, chunk : 2 * chunk]
     t2_c = t_c[:, 2 * chunk : 3 * chunk]
     with metrics.phase("round3.quotient"):
-        com_t0 = ops.commit(pk.srs, t0_c)
-        com_t1 = ops.commit(pk.srs, t1_c)
-        com_t2 = ops.commit(pk.srs, t2_c)
+        com_t0, com_t1, com_t2 = ops.commit_many(pk.srs, [t0_c, t1_c, t2_c])
     sanitize.check_field(t_c, R, "prove.round3.quotient")
     if protocol == "gnark":
         zeta = GP.derive_randomness(gts, "zeta", (com_t0, com_t1, com_t2))
@@ -536,10 +539,13 @@ def _prove_impl(
     polys = [opened[k] for k in ZETA_OPENING_LABELS]
     with metrics.phase("round4.evals"):
         # ONE batched Horner for all 15 zeta openings, one more for
-        # z(zeta*omega); single host transfer each.
+        # z(zeta*omega) — and ONE host transfer for all 16 values (the
+        # per-value to_ints readbacks were a relay round-trip each,
+        # ~2/3 of this phase at n=1024).
         eval_arrs = P.eval_many(polys, zeta_d)
-        evals = [F.to_ints(v, FR)[0] for v in eval_arrs]
-        z_omega_val = F.to_ints(P.eval_at(z_c, zeta_omega_d), FR)[0]
+        zw_arr = P.eval_at(z_c, zeta_omega_d)
+        all_vals = F.to_ints(jnp.concatenate(eval_arrs + [zw_arr], axis=1), FR)
+        evals, z_omega_val = all_vals[:-1], all_vals[-1]
 
     for label, v in zip(ZETA_OPENING_LABELS, evals):
         ts.absorb_felt(label.encode(), v)
@@ -548,9 +554,15 @@ def _prove_impl(
 
     # ---- Round 5: opening proofs --------------------------------------
     with metrics.phase("round5.open"):
-        w_zeta, _ = kzg.batch_open_at(pk.srs, polys, zeta_d, nu, mesh=ops.mesh)
+        # Inline the batched opening (kzg.batch_open_at re-evaluates
+        # every polynomial and reads each value back — round 4 already
+        # produced them) and land BOTH opening commitments in one
+        # readback.
+        weights = [F.from_ints([pow(nu, i, R)], FR) for i in range(len(polys))]
+        folded = P.linear_combination(polys, weights)
+        q_fold, _ = P.divide_by_linear(folded, zeta_d)
         q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
-        w_zeta_omega = ops.commit(pk.srs, q_zw)
+        w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return Proof(
         a=com_a,

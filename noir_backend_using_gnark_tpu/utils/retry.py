@@ -39,7 +39,7 @@ TRANSIENT_PATTERNS = tuple(
         r"\bunexpected EOF\b",
         r"\bEOF while\b",
         r"\bHTTP(?:/\d\.\d)?\"? (?:status )?50[23]\b",
-        r"\b50[23] (?:Bad Gateway|Service Unavailable)\b",
+        r"(?i)\b50[23] (?:bad gateway|service unavailable)\b",
         r"\bUNAVAILABLE\b",
         r"\bDEADLINE_EXCEEDED\b",
     )

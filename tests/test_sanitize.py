@@ -146,7 +146,19 @@ def test_prove_under_sanitizer(sanitizing):
 def test_is_transient_classification():
     assert retry.is_transient(RuntimeError("remote_compile: read body: EOF"))
     assert retry.is_transient(OSError("Connection reset by peer"))
+    assert retry.is_transient(
+        RuntimeError(
+            "INTERNAL: http://127.0.0.1:8083/remote_compile: read body: "
+            "response body closed before all bytes were read"
+        )
+    )  # the exact round-3 bench killer (BENCH_r03 msm_2e24_error)
     assert not retry.is_transient(ValueError("witness unsatisfied"))
+    # Anchored patterns (advisor r4): incidental substrings must NOT
+    # classify as transient — a local pipe EOF, a message containing
+    # "element 5023", or the word fragments of a 502/503 code.
+    assert not retry.is_transient(EOFError())
+    assert not retry.is_transient(ValueError("bad felt at element 5023"))
+    assert not retry.is_transient(RuntimeError("EOF"))
 
 
 def test_retry_recovers_transient():
