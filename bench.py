@@ -74,7 +74,12 @@ WORKER_GROUPS = [
     # come immediately after the guaranteed families — they are the
     # BASELINE.md headline sizes and must land inside the budget; the
     # small-size/stretch extras move behind them.
-    ("core", "msm_2e22,ntt_mxu_2e20,ntt_scan_2e20,plonk,fr_mul", 30),
+    # NTT sections run BEFORE the 2^22 MSM inside the group: round-5
+    # probes showed the r4 "mxu 3.4x slower than scan" reading was a
+    # memory-pressure artifact of timing the NTT right after the MSM's
+    # ~1.5 GB of live arrays (clean-memory numbers: mxu 1.12M vs scan
+    # 0.63M elems/s at 2^20 — mxu wins at every size measured).
+    ("core", "ntt_mxu_2e20,ntt_scan_2e20,plonk,fr_mul,msm_2e22", 30),
     ("msm24", "msm_2e24", 150),
     ("ntt24", "ntt_mxu_2e24", 150),
     # 2^14-domain prove: shapes pre-compiled into the persistent cache

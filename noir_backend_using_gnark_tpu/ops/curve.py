@@ -265,12 +265,27 @@ def from_affine_ints(points) -> JacobianPoint:
     return JacobianPoint(x, y, z)
 
 
+@jax.jit
+def _to_affine_packed(p: JacobianPoint) -> jax.Array:
+    """Affine-normalize and pack (x limbs ‖ y limbs ‖ inf) into ONE
+    (33, n) uint32 array: a single device dispatch and a single host
+    readback. The unpacked to_affine path cost 3 separate blocking
+    readbacks (x, y, inf) — at ~56 ms relay round-trip each, that was
+    the dominant fixed cost of every commitment conversion."""
+    ax, ay, inf = to_affine(p)
+    ax = F.from_mont(ax.reshape(16, -1), FQ)
+    ay = F.from_mont(ay.reshape(16, -1), FQ)
+    return jnp.concatenate(
+        [ax, ay, inf.reshape(1, -1).astype(jnp.uint32)], axis=0
+    )
+
+
 def to_affine_ints(p: JacobianPoint):
     """Device batch -> host list of affine tuples / None."""
-    ax, ay, inf = to_affine(p)
-    xs = F.to_ints(ax.reshape(16, -1), FQ)
-    ys = F.to_ints(ay.reshape(16, -1), FQ)
-    infs = np.asarray(inf).reshape(-1)
+    packed = np.asarray(_to_affine_packed(p))
+    xs = bigint.limb_array_to_ints(packed[:16])
+    ys = bigint.limb_array_to_ints(packed[16:32])
+    infs = packed[32].astype(bool)
     return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
 
 

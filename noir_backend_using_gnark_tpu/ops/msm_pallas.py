@@ -174,8 +174,10 @@ def _mont_sqr(a):
     Valid because at outer iteration i, t[0] (the 2^{16i} limb after i
     shift-downs) has already received every a_k*a_{i-k} pair (k <=
     i/2 <= i), so m = t[0]*n0 is exact as in the general CIOS.
-    ~17% fewer vector ops than _mont_mul(a, a); used for the 3
-    squarings of the 11-mul fast add path."""
+    ~17% fewer vector ops than _mont_mul(a, a) — but measured 8%
+    SLOWER end-to-end on a v5e when wired into the fast add path (the
+    doubled accumulates serialize; see _add_mixed_fast_ll note), so it
+    is kept only as a tested reference implementation."""
     t = [jnp.zeros_like(a[0]) for _ in range(NL + 1)]
     for i in range(NL):
         ai = a[i]
@@ -241,16 +243,22 @@ def _add_mixed_fast_ll(x1, y1, z1, qx, qy, q_inf):
     per-step mont_mul count 18 -> 11 (~1.5x on a VPU-peak-bound
     kernel, round-4 verdict item #1).
     """
-    z1z1 = _mont_sqr(z1)
+    # NOTE: the 3 squarings here deliberately use the general
+    # _mont_mul. A CIOS squaring variant (_mont_sqr, kept for
+    # reference/tests) counts ~17% fewer ops but measured 8% SLOWER
+    # end-to-end on a v5e (2.30M vs 2.52M pts/s @2^22) — the doubled
+    # lo/hi accumulate lengthens dependency chains that Mosaic
+    # otherwise pipelines. docs/MSM_ROOFLINE.md.
+    z1z1 = _mont_mul(z1, z1)
     u2 = _mont_mul(qx, z1z1)
     z1c = _mont_mul(z1, z1z1)
     s2 = _mont_mul(qy, z1c)
     h = _sub_mod(u2, x1)
     r = _sub_mod(s2, y1)
-    hh = _mont_sqr(h)
+    hh = _mont_mul(h, h)
     hhh = _mont_mul(h, hh)
     v = _mont_mul(x1, hh)
-    rr = _mont_sqr(r)
+    rr = _mont_mul(r, r)
     x3 = _sub_mod(_sub_mod(rr, hhh), _dbl_mod(v))
     y3 = _sub_mod(_mont_mul(r, _sub_mod(v, x3)), _mont_mul(y1, hhh))
     z3 = _mont_mul(z1, h)

@@ -214,6 +214,22 @@ def _lin_terms(k1, k2, beta, gamma, zeta, evals):
     return a_term, c_term
 
 
+def _lincomb(polys: tuple, weight_ints) -> "object":
+    """Linear combination with host-int weights — one upload + the
+    jitted stacked combine (P.linear_combination's per-weight
+    from_ints calls were a dispatch each)."""
+    w = F.from_ints([int(x) % R for x in weight_ints], FR).reshape(
+        16, len(polys), 1
+    )
+    import jax.numpy as jnp
+
+    n = max(p.shape[-1] for p in polys)
+    stacked = jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, n - p.shape[-1]))) for p in polys], axis=1
+    )
+    return P._lincomb_stacked(stacked, w)
+
+
 # ---------------------------------------------------------------------------
 # Prover tail (rounds 4-5 under the gnark protocol)
 # ---------------------------------------------------------------------------
@@ -249,13 +265,16 @@ def finish_prove(
     zeta_omega = zeta * omega % R
     zeta_omega_d = F.from_ints([zeta_omega], FR)
 
-    # ---- wire/sigma evaluations (ONE dispatch) + z(omega*zeta),
-    # all read back in ONE host transfer ------------------------------
-    import jax.numpy as jnp
+    # ---- wire/sigma evaluations + z(omega*zeta): ONE dispatch, ONE
+    # host transfer (plonk/prove._evals_pack_kernel) ------------------
+    from .prove import _evals_pack_kernel, _open_quotients_kernel
 
-    eval_arrs = P.eval_many([a_c, b_c, c_c, pk.s1, pk.s2], zeta_d)
-    zw_arr = P.eval_at(z_c, zeta_omega_d)
-    vals = F.to_ints(jnp.concatenate(eval_arrs + [zw_arr], axis=1), FR)
+    vals = F.to_ints(
+        _evals_pack_kernel(
+            (a_c, b_c, c_c, pk.s1, pk.s2), zeta_d, z_c, zeta_omega_d
+        ),
+        FR,
+    )
     lb, rb, ob, s1b, s2b, z_omega_val = vals
 
     zh = (pow(zeta, n, R) - 1) % R
@@ -270,16 +289,13 @@ def finish_prove(
     weights = [lb * rb % R, lb, rb, ob, 1, wz, ws3]
 
     # ---- linearization polynomial + folded quotient (2 dispatches) ----
-    lin_c = P.linear_combination(
-        [pk.qm, pk.ql, pk.qr, pk.qo, pk.qc, z_c, pk.s3],
-        [F.from_ints([w], FR) for w in weights],
+    lin_c = _lincomb(
+        (pk.qm, pk.ql, pk.qr, pk.qo, pk.qc, z_c, pk.s3), weights
     )
     chunk = n + 2
     zc1 = pow(zeta, chunk, R)
     zc2 = zc1 * zc1 % R
-    foldedh_c = P.linear_combination(
-        list(t_chunks), [F.from_ints([w], FR) for w in (1, zc1, zc2)]
-    )
+    foldedh_c = _lincomb(tuple(t_chunks), (1, zc1, zc2))
 
     # ---- digests for the fold challenge (host G1, O(1) points) --------
     lin_digest = _lin_digest(pk.vk, com_z, weights)
@@ -296,18 +312,18 @@ def finish_prove(
     fold_gamma = derive_kzg_fold_gamma(zeta, digests)
 
     # ---- batched opening at zeta + shifted opening of z ---------------
-    # Inlined kzg.batch_open_at: one eval dispatch + one readback for
-    # the 7 claimed values, and both opening commitments land in a
-    # single commit_many readback.
-    polys = [foldedh_c, lin_c, a_c, b_c, c_c, pk.s1, pk.s2]
-    weights = [
-        F.from_ints([pow(fold_gamma, i, R)], FR) for i in range(len(polys))
-    ]
-    claimed_arrs = P.eval_many(polys, zeta_d)
-    folded = P.linear_combination(polys, weights)
-    q_fold, _ = P.divide_by_linear(folded, zeta_d)
-    q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
-    claimed = F.to_ints(jnp.concatenate(claimed_arrs, axis=1), FR)
+    # Fused: one dispatch evaluates the 7 claimed values, one builds
+    # both opening quotients, one commits them; two readbacks total.
+    polys = (foldedh_c, lin_c, a_c, b_c, c_c, pk.s1, pk.s2)
+    gamma_pows = F.from_ints(
+        [pow(fold_gamma, i, R) for i in range(len(polys))], FR
+    ).reshape(16, len(polys), 1)
+    claimed = F.to_ints(
+        _evals_pack_kernel(polys, zeta_d, z_c, zeta_omega_d), FR
+    )[:-1]
+    q_fold, q_zw = _open_quotients_kernel(
+        polys, gamma_pows, zeta_d, z_c, zeta_omega_d
+    )
     w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return GnarkProof(

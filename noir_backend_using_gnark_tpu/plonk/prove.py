@@ -58,15 +58,22 @@ def _sparse_poly(length: int, entries: dict) -> jax.Array:
     return jnp.asarray(arr)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _blind_apply(coeffs: jax.Array, sparse: jax.Array, k: int) -> jax.Array:
+    """Zero-pad by k and add the sparse blinding poly — ONE dispatch
+    (the eager pad was its own ~13 ms relay dispatch per call)."""
+    pad = ((0, 0),) * (coeffs.ndim - 1) + ((0, k),)
+    return F.add(jnp.pad(coeffs, pad), sparse, FR)
+
+
 def _blind(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
     """coeffs (16, n) + (sum_i blinds[i] X^i) * (X^n - 1), len n+len(b)."""
     k = len(blinds)
-    out = jnp.pad(coeffs, ((0, 0), (0, k)))
     entries = {}
     for i, b in enumerate(blinds):
         entries[i] = (entries.get(i, 0) - b) % R
         entries[n + i] = (entries.get(n + i, 0) + b) % R
-    return F.add(out, _sparse_poly(n + k, entries), FR)
+    return _blind_apply(coeffs, _sparse_poly(n + k, entries), k)
 
 
 def _blind_batch(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
@@ -75,7 +82,6 @@ def _blind_batch(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
     round-trips)."""
     k = len(blinds[0])
     npolys = len(blinds)
-    out = jnp.pad(coeffs, ((0, 0), (0, 0), (0, k)))
     arr = np.zeros((F.NUM_LIMBS, npolys, n + k), np.uint32)
     r_mont = 1 << 256
     for pi, bl in enumerate(blinds):
@@ -86,7 +92,7 @@ def _blind_batch(coeffs: jax.Array, n: int, blinds: list) -> jax.Array:
         for idx, val in entries.items():
             for li, limb in enumerate(bigint.int_to_limbs(val % R * r_mont % R)):
                 arr[li, pi, idx] = limb
-    return F.add(out, jnp.asarray(arr), FR)
+    return _blind_apply(coeffs, jnp.asarray(arr), k)
 
 
 def _bcast_col(scalar_d: jax.Array, like: jax.Array) -> jax.Array:
@@ -185,6 +191,39 @@ def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
     return jnp.take(assignment, jnp.asarray(idx), axis=1)
 
 
+@jax.jit
+def _evals_pack_kernel(polys: tuple, z: jax.Array, z_poly: jax.Array, zw: jax.Array):
+    """All zeta openings + z(omega*zeta) as ONE dispatch returning one
+    (16, P+1) array: stack/pad the polynomials in-trace, one batched
+    Horner, plus the shifted evaluation — the eager eval_many path cost
+    a dispatch per pad/slice (~13 ms each on the relay host)."""
+    n = max(p.shape[-1] for p in polys)
+    stacked = jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, n - p.shape[-1]))) for p in polys], axis=1
+    )
+    evals = P.horner_states(stacked, z)[:, :, 0]  # (16, P)
+    zwv = P.horner_states(z_poly, zw)[:, :1]
+    return jnp.concatenate([evals, zwv], axis=1)
+
+
+@jax.jit
+def _open_quotients_kernel(
+    polys: tuple, weights: jax.Array, z: jax.Array, z_poly: jax.Array, zw: jax.Array
+):
+    """Round 5's device tail in ONE dispatch: fold the opened
+    polynomials with the challenge powers, divide by (X - zeta) and
+    (X - zeta*omega). Returns the two quotient coefficient arrays
+    (inputs to the stacked commit kernel — no readback in between)."""
+    n = max(p.shape[-1] for p in polys)
+    stacked = jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, n - p.shape[-1]))) for p in polys], axis=1
+    )
+    folded = P._lincomb_stacked(stacked, weights)
+    q_fold = P.horner_states(folded, z)[:, 1:]
+    q_zw = P.horner_states(z_poly, zw)[:, 1:]
+    return q_fold, q_zw
+
+
 class _TransformOps:
     """NTT/commit dispatch: single-chip kernels, or the sharded
     four-step NTT + distributed Pippenger when a mesh is supplied.
@@ -212,7 +251,16 @@ class _TransformOps:
         """Route single-chip transforms through the MXU four-step
         kernel on TPU (ops/mxu_ntt). Both kernels compute the exact
         same field elements, so proof bytes are path-independent
-        (tests/test_mxu_ntt.py). NOIRTPU_NTT_IMPL=scan|mxu overrides."""
+        (tests/test_mxu_ntt.py). NOIRTPU_NTT_IMPL=scan|mxu overrides.
+
+        Routing is backed by round-5 clean-memory v5e measurements
+        (warm, M elems/s, mxu vs scan): 2^16 1.90 vs 1.66, 2^18 1.92
+        vs 0.98, 2^20 1.12 vs 0.63, 2^22 0.57 vs ~0.3 — the MXU path
+        wins at every size in its 256..2^24 support range. (The r4
+        bench reading that showed scan ahead at 2^20 was a
+        memory-pressure artifact: the NTT was timed with the 2^22
+        MSM's ~1.5 GB still resident; bench.py now orders NTT sections
+        first and records warm AND cold times.)"""
         mode = os.environ.get("NOIRTPU_NTT_IMPL", "auto")
         if mode == "scan":
             return False
@@ -538,13 +586,12 @@ def _prove_impl(
     }
     polys = [opened[k] for k in ZETA_OPENING_LABELS]
     with metrics.phase("round4.evals"):
-        # ONE batched Horner for all 15 zeta openings, one more for
-        # z(zeta*omega) — and ONE host transfer for all 16 values (the
-        # per-value to_ints readbacks were a relay round-trip each,
-        # ~2/3 of this phase at n=1024).
-        eval_arrs = P.eval_many(polys, zeta_d)
-        zw_arr = P.eval_at(z_c, zeta_omega_d)
-        all_vals = F.to_ints(jnp.concatenate(eval_arrs + [zw_arr], axis=1), FR)
+        # ONE dispatch for all 15 zeta openings + z(zeta*omega), ONE
+        # host transfer for all 16 values (previously: eager pads and
+        # per-poly slices at ~13 ms each plus per-value readbacks).
+        all_vals = F.to_ints(
+            _evals_pack_kernel(tuple(polys), zeta_d, z_c, zeta_omega_d), FR
+        )
         evals, z_omega_val = all_vals[:-1], all_vals[-1]
 
     for label, v in zip(ZETA_OPENING_LABELS, evals):
@@ -554,14 +601,16 @@ def _prove_impl(
 
     # ---- Round 5: opening proofs --------------------------------------
     with metrics.phase("round5.open"):
-        # Inline the batched opening (kzg.batch_open_at re-evaluates
-        # every polynomial and reads each value back — round 4 already
-        # produced them) and land BOTH opening commitments in one
-        # readback.
-        weights = [F.from_ints([pow(nu, i, R)], FR) for i in range(len(polys))]
-        folded = P.linear_combination(polys, weights)
-        q_fold, _ = P.divide_by_linear(folded, zeta_d)
-        q_zw, _ = P.divide_by_linear(z_c, zeta_omega_d)
+        # ONE device dispatch builds both opening quotients, one more
+        # commits them, one readback returns both points (kzg.
+        # batch_open_at re-evaluated every polynomial and read every
+        # value back — round 4 already produced them).
+        weights = F.from_ints(
+            [pow(nu, i, R) for i in range(len(polys))], FR
+        ).reshape(16, len(polys), 1)
+        q_fold, q_zw = _open_quotients_kernel(
+            tuple(polys), weights, zeta_d, z_c, zeta_omega_d
+        )
         w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return Proof(
