@@ -143,9 +143,18 @@ def _commit_stack_kernel_factory():
         px = srs_x[:, :n_class]
         py = srs_y[:, :n_class]
         pinf = srs_inf[:n_class]
+        # Lane alignment: n_class can be a non-power-of-two SRS size
+        # (when the next size class exceeds the SRS); pad with
+        # infinity points + zero scalars, exactly like M.msm does.
+        align = 128 if use_pallas else lanes
+        lane_pad = (-n_class) % align
+        if lane_pad:
+            px = jnp.pad(px, ((0, 0), (0, lane_pad)))
+            py = jnp.pad(py, ((0, 0), (0, lane_pad)))
+            pinf = jnp.pad(pinf, ((0, lane_pad),), constant_values=True)
         outs = []
         for co in coeffs:
-            co = jnp.pad(co, ((0, 0), (0, n_class - co.shape[1])))
+            co = jnp.pad(co, ((0, 0), (0, n_class + lane_pad - co.shape[1])))
             sc = F.from_mont(co, FR)
             if use_pallas:
                 pt = msm_pallas.msm_kernel_pallas(px, py, pinf, sc, c)

@@ -261,19 +261,15 @@ def finish_prove(
     """
     n = pk.n
     omega = pk.vk.generator
-    zeta_d = F.from_ints([zeta], FR)
     zeta_omega = zeta * omega % R
-    zeta_omega_d = F.from_ints([zeta_omega], FR)
+    zz = F.from_ints([zeta, zeta_omega], FR)  # one bundled upload
 
     # ---- wire/sigma evaluations + z(omega*zeta): ONE dispatch, ONE
     # host transfer (plonk/prove._evals_pack_kernel) ------------------
     from .prove import _evals_pack_kernel, _open_quotients_kernel
 
     vals = F.to_ints(
-        _evals_pack_kernel(
-            (a_c, b_c, c_c, pk.s1, pk.s2), zeta_d, z_c, zeta_omega_d
-        ),
-        FR,
+        _evals_pack_kernel((a_c, b_c, c_c, pk.s1, pk.s2), zz, z_c), FR
     )
     lb, rb, ob, s1b, s2b, z_omega_val = vals
 
@@ -318,12 +314,8 @@ def finish_prove(
     gamma_pows = F.from_ints(
         [pow(fold_gamma, i, R) for i in range(len(polys))], FR
     ).reshape(16, len(polys), 1)
-    claimed = F.to_ints(
-        _evals_pack_kernel(polys, zeta_d, z_c, zeta_omega_d), FR
-    )[:-1]
-    q_fold, q_zw = _open_quotients_kernel(
-        polys, gamma_pows, zeta_d, z_c, zeta_omega_d
-    )
+    claimed = F.to_ints(_evals_pack_kernel(polys, zz, z_c), FR)[:-1]
+    q_fold, q_zw = _open_quotients_kernel(polys, gamma_pows, zz, z_c)
     w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return GnarkProof(

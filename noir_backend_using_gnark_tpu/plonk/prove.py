@@ -103,10 +103,13 @@ def _bcast_col(scalar_d: jax.Array, like: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _z_evals_kernel(wa_e, wb_e, wc_e, xs, s1e, s2e, s3e, beta_d, gamma_d, k1_d, k2_d):
+def _z_evals_kernel(wa_e, wb_e, wc_e, xs, s1e, s2e, s3e, bg):
     """Round 2's whole elementwise chain — ONE dispatch (each un-jitted
     field op is a separate ~0.1-0.3 s round-trip on the relay host, and
-    this chain had ~12 of them)."""
+    this chain had ~12 of them). ``bg``: (16, 4) bundled device scalars
+    [beta, gamma, k1, k2] — one upload instead of four."""
+    beta_d, gamma_d = bg[:, 0:1], bg[:, 1:2]
+    k1_d, k2_d = bg[:, 2:3], bg[:, 3:4]
     n = wa_e.shape[-1]
     gamma_col = _bcast_col(gamma_d, wa_e)
 
@@ -128,13 +131,16 @@ def _z_evals_kernel(wa_e, wb_e, wc_e, xs, s1e, s2e, s3e, beta_d, gamma_d, k1_d, 
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _quotient_kernel(
-    ev4, x_pows4, zh_pat_d, shift_d, beta_d, gamma_d, alpha_d, alpha2_d,
-    k1_d, k2_d, n: int
-):
+def _quotient_kernel(ev4, x_pows4, bg, ch, n: int):
     """Round 3's full coset-evaluation algebra (gate + permutation +
     L1 terms, gnark sign convention) — ONE dispatch from the stacked
-    coset evaluations to t4 = numerator * Z_H^{-1}."""
+    coset evaluations to t4 = numerator * Z_H^{-1}. ``bg``: (16, 4)
+    [beta, gamma, k1, k2]; ``ch``: (16, 7) [alpha, alpha^2, shift,
+    zh_pat0..3] — bundled uploads."""
+    beta_d, gamma_d = bg[:, 0:1], bg[:, 1:2]
+    k1_d, k2_d = bg[:, 2:3], bg[:, 3:4]
+    alpha_d, alpha2_d, shift_d = ch[:, 0:1], ch[:, 1:2], ch[:, 2:3]
+    zh_pat_d = ch[:, 3:7]
     (
         a4, b4, c4, z4, ql4, qr4, qo4, qm4, qc4, s14, s24, s34, pi4, l04,
     ) = (ev4[:, i] for i in range(14))
@@ -191,12 +197,33 @@ def _gather_wires(assignment: jax.Array, idx: np.ndarray) -> jax.Array:
     return jnp.take(assignment, jnp.asarray(idx), axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("big_n",))
+def _stack_pad_kernel(polys: tuple, big_n: int) -> jax.Array:
+    """Zero-pad K polynomials to big_n and stack on axis 1 — ONE
+    dispatch (the eager per-poly pads were ~13 ms relay dispatches
+    each; round 3 stacks 14 of them)."""
+    return jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, big_n - p.shape[1]))) for p in polys], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _split3_kernel(t_c: jax.Array, chunk: int):
+    """The three quotient chunks in one dispatch."""
+    return (
+        t_c[:, :chunk],
+        t_c[:, chunk : 2 * chunk],
+        t_c[:, 2 * chunk : 3 * chunk],
+    )
+
+
 @jax.jit
-def _evals_pack_kernel(polys: tuple, z: jax.Array, z_poly: jax.Array, zw: jax.Array):
+def _evals_pack_kernel(polys: tuple, zz: jax.Array, z_poly: jax.Array):
     """All zeta openings + z(omega*zeta) as ONE dispatch returning one
     (16, P+1) array: stack/pad the polynomials in-trace, one batched
     Horner, plus the shifted evaluation — the eager eval_many path cost
     a dispatch per pad/slice (~13 ms each on the relay host)."""
+    z, zw = zz[:, 0:1], zz[:, 1:2]
     n = max(p.shape[-1] for p in polys)
     stacked = jnp.stack(
         [jnp.pad(p, ((0, 0), (0, n - p.shape[-1]))) for p in polys], axis=1
@@ -207,13 +234,12 @@ def _evals_pack_kernel(polys: tuple, z: jax.Array, z_poly: jax.Array, zw: jax.Ar
 
 
 @jax.jit
-def _open_quotients_kernel(
-    polys: tuple, weights: jax.Array, z: jax.Array, z_poly: jax.Array, zw: jax.Array
-):
+def _open_quotients_kernel(polys: tuple, weights: jax.Array, zz: jax.Array, z_poly: jax.Array):
     """Round 5's device tail in ONE dispatch: fold the opened
     polynomials with the challenge powers, divide by (X - zeta) and
     (X - zeta*omega). Returns the two quotient coefficient arrays
     (inputs to the stacked commit kernel — no readback in between)."""
+    z, zw = zz[:, 0:1], zz[:, 1:2]
     n = max(p.shape[-1] for p in polys)
     stacked = jnp.stack(
         [jnp.pad(p, ((0, 0), (0, n - p.shape[-1]))) for p in polys], axis=1
@@ -458,15 +484,12 @@ def _prove_impl(
 
     # ---- Round 2: permutation grand product ---------------------------
     xs = domain.x_powers()  # omega^i (host-generated, cached)
-    beta_d = F.from_ints([beta], FR)
-    gamma_d = F.from_ints([gamma], FR)
-    k1_d = F.from_ints([K1], FR)
-    k2_d = F.from_ints([K2], FR)
+    bg = F.from_ints([beta, gamma, K1, K2], FR)  # one bundled upload
     with metrics.phase("round2.grand_product"):
         z_evals = _z_evals_kernel(
             wa_e, wb_e, wc_e, xs,
             pk.s1_evals, pk.s2_evals, pk.s3_evals,
-            beta_d, gamma_d, k1_d, k2_d,
+            bg,
         )
         z_c = _blind(
             ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
@@ -493,15 +516,13 @@ def _prove_impl(
 
     # ALL 15 coset transforms as ONE batched dispatch: zero-pad each
     # coefficient vector to 4n, stack on axis 1, one coset NTT.
-    coset_in = [
+    coset_in = (
         a_c, b_c, c_c, z_c,
         pk.ql, pk.qr, pk.qo, pk.qm, pk.qc,
         pk.s1, pk.s2, pk.s3,
         pi_c, l0_c,
-    ]
-    stacked = jnp.stack(
-        [jnp.pad(p, ((0, 0), (0, big_n - p.shape[1]))) for p in coset_in], axis=1
-    )  # (16, 14, 4n)
+    )
+    stacked = _stack_pad_kernel(coset_in, big_n)  # (16, 14, 4n)
     ev4 = ops.coset_ntt(stacked, QUOTIENT_SHIFT, domain4)
 
     # Z_H^{-1} on the coset (period-4 pattern, host scalars).
@@ -514,25 +535,14 @@ def _prove_impl(
             raise ProvingError("quotient coset intersects the domain")
         zh_pat.append(pow(v, -1, R))
 
-    t4 = _quotient_kernel(
-        ev4,
-        domain4.x_powers(),
-        F.from_ints(zh_pat, FR),
-        F.from_ints([QUOTIENT_SHIFT], FR),
-        beta_d,
-        gamma_d,
-        F.from_ints([alpha], FR),
-        F.from_ints([alpha * alpha % R], FR),
-        k1_d,
-        k2_d,
-        n=n,
-    )
+    ch = F.from_ints(
+        [alpha, alpha * alpha % R, QUOTIENT_SHIFT] + zh_pat, FR
+    )  # one bundled upload
+    t4 = _quotient_kernel(ev4, domain4.x_powers(), bg, ch, n=n)
     t_c = ops.coset_intt(t4, QUOTIENT_SHIFT, domain4)  # degree <= 2n+4
 
     chunk = n + 2
-    t0_c = t_c[:, :chunk]
-    t1_c = t_c[:, chunk : 2 * chunk]
-    t2_c = t_c[:, 2 * chunk : 3 * chunk]
+    t0_c, t1_c, t2_c = _split3_kernel(t_c, chunk)
     with metrics.phase("round3.quotient"):
         com_t0, com_t1, com_t2 = ops.commit_many(pk.srs, [t0_c, t1_c, t2_c])
     sanitize.check_field(t_c, R, "prove.round3.quotient")
@@ -564,8 +574,7 @@ def _prove_impl(
     zeta = ts.challenge(b"zeta")
 
     # ---- Round 4: evaluations -----------------------------------------
-    zeta_d = F.from_ints([zeta], FR)
-    zeta_omega_d = F.from_ints([zeta * omega % R], FR)
+    zz = F.from_ints([zeta, zeta * omega % R], FR)  # one bundled upload
 
     opened = {
         "a": a_c,
@@ -589,9 +598,7 @@ def _prove_impl(
         # ONE dispatch for all 15 zeta openings + z(zeta*omega), ONE
         # host transfer for all 16 values (previously: eager pads and
         # per-poly slices at ~13 ms each plus per-value readbacks).
-        all_vals = F.to_ints(
-            _evals_pack_kernel(tuple(polys), zeta_d, z_c, zeta_omega_d), FR
-        )
+        all_vals = F.to_ints(_evals_pack_kernel(tuple(polys), zz, z_c), FR)
         evals, z_omega_val = all_vals[:-1], all_vals[-1]
 
     for label, v in zip(ZETA_OPENING_LABELS, evals):
@@ -608,9 +615,7 @@ def _prove_impl(
         weights = F.from_ints(
             [pow(nu, i, R) for i in range(len(polys))], FR
         ).reshape(16, len(polys), 1)
-        q_fold, q_zw = _open_quotients_kernel(
-            tuple(polys), weights, zeta_d, z_c, zeta_omega_d
-        )
+        q_fold, q_zw = _open_quotients_kernel(tuple(polys), weights, zz, z_c)
         w_zeta, w_zeta_omega = ops.commit_many(pk.srs, [q_fold, q_zw])
 
     return Proof(
