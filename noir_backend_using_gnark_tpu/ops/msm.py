@@ -189,19 +189,28 @@ def _weighted_bucket_reduce(buckets: C.JacobianPoint) -> C.JacobianPoint:
 
 
 def _join_windows(totals: C.JacobianPoint, c: int) -> C.JacobianPoint:
-    """Horner join: sum_w 2^{c w} T_w, highest window first; totals
-    batch shape (W,)."""
-    w_count = totals.x.shape[1]
+    """Horner join: sum_w 2^{c w} T_w, highest window first.
+
+    ``totals`` batch shape (..., W) — any leading batch axes are
+    independent MSMs joined in the SAME ~c*W sequential doublings
+    (the doubling chain is depth-fundamental, so batching K MSMs here
+    amortizes its XLA per-step overhead K-fold; kzg.commit_many_ints
+    leans on this to join all of a prover round's commitments at
+    once)."""
+    w_count = totals.x.shape[-1]
+    batch = totals.x.shape[1:-1]
 
     def body(acc, i):
         acc = jax.lax.fori_loop(0, c, lambda _, p: C.double(p), acc)
         t_i = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, w_count - 1 - i, axis=1, keepdims=False),
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, w_count - 1 - i, axis=a.ndim - 1, keepdims=False
+            ),
             totals,
         )
         return C.add(acc, t_i), None
 
-    out, _ = jax.lax.scan(body, C.infinity(()), jnp.arange(w_count))
+    out, _ = jax.lax.scan(body, C.infinity(batch), jnp.arange(w_count))
     return out
 
 
