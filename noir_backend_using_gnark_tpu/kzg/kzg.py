@@ -131,9 +131,12 @@ def _commit_stack_kernel_factory():
     import jax.numpy as jnp
 
     @functools.partial(
-        jax.jit, static_argnames=("n_class", "c", "lanes", "use_pallas")
+        jax.jit,
+        static_argnames=("n_class", "c", "lanes", "use_pallas", "pallas_join"),
     )
-    def kernel(srs_x, srs_y, srs_inf, coeffs, n_class, c, lanes, use_pallas):
+    def kernel(
+        srs_x, srs_y, srs_inf, coeffs, n_class, c, lanes, use_pallas, pallas_join
+    ):
         """K MSMs over the same SRS prefix + affine packing, ONE
         dispatch. ``coeffs``: tuple of (16, n_i) Montgomery arrays
         (padded to n_class inside the trace). Returns the (33, K)
@@ -172,7 +175,12 @@ def _commit_stack_kernel_factory():
             lambda *xs: jnp.stack(xs, axis=1), *buckets
         )  # (16, K, W, B)
         totals = M._weighted_bucket_reduce(stacked_b)  # (16, K, W)
-        joined = M._join_windows(totals, c)  # batch (K,)
+        # The VPU join kernel applies on TPU regardless of which
+        # accumulation path ran (the join cost is what it amortizes).
+        if pallas_join:
+            joined = msm_pallas.join_windows_pallas(totals, c)
+        else:
+            joined = M._join_windows(totals, c)  # batch (K,)
         return C._to_affine_packed(joined)
 
     return kernel
@@ -215,6 +223,11 @@ def commit_many_ints(srs: SRS, coeff_list: list, mesh=None) -> list:
     else:
         c_win = M.default_window_bits(n_class)
         lanes = M._lanes_for(n_class, c_win)
+    pallas_join = (
+        M._tpu_platform()
+        and len(coeff_list) <= 8
+        and M.num_windows(c_win) <= 128
+    )
     packed = np.asarray(
         _commit_stack_kernel(
             srs.g1_powers.x,
@@ -225,6 +238,7 @@ def commit_many_ints(srs: SRS, coeff_list: list, mesh=None) -> list:
             c=c_win,
             lanes=lanes,
             use_pallas=use_pallas,
+            pallas_join=pallas_join,
         )
     )
     xs = _bigint.limb_array_to_ints(packed[:16])

@@ -310,6 +310,17 @@ _msm_jit = jax.jit(msm_kernel, static_argnames=("c", "lanes"))
 _PLATFORM = None
 
 
+def _tpu_platform() -> bool:
+    """True when the default jax backend is a TPU (cached)."""
+    global _PLATFORM
+    if _PLATFORM is None:
+        try:
+            _PLATFORM = jax.devices()[0].platform
+        except Exception:  # noqa: BLE001
+            _PLATFORM = "unknown"
+    return _PLATFORM == "tpu"
+
+
 def _use_pallas(n: int) -> bool:
     """Route big MSMs through the Pallas VMEM-resident bucket kernel on
     TPU (ops/msm_pallas): measured 756k pts/s at 2^20 vs 106k for the
@@ -325,13 +336,7 @@ def _use_pallas(n: int) -> bool:
         return True
     if n < (1 << 13):
         return False
-    global _PLATFORM
-    if _PLATFORM is None:
-        try:
-            _PLATFORM = jax.devices()[0].platform
-        except Exception:  # noqa: BLE001
-            _PLATFORM = "unknown"
-    return _PLATFORM == "tpu"
+    return _tpu_platform()
 
 
 # ---------------------------------------------------------------------------

@@ -400,6 +400,112 @@ def _add_full_ll(x1, y1, z1, x2, y2, z2):
     return ox, oy, oz
 
 
+def _dbl_full_ll(x, y, z):
+    """Complete Jacobian doubling (dbl-2009-l shape, a=0): 7 mont_muls.
+    Infinity (z=0) stays at infinity (Z3 = 2YZ = 0); BN254 G1 has no
+    order-2 points so Y=0 never occurs for finite points."""
+    a = _mont_mul(x, x)
+    b = _mont_mul(y, y)
+    cc = _mont_mul(b, b)
+    xb = _add_mod(x, b)
+    d = _mont_mul(xb, xb)
+    d = _dbl_mod(_sub_mod(_sub_mod(d, a), cc))
+    e = _add_mod(_dbl_mod(a), a)
+    f = _mont_mul(e, e)
+    x3 = _sub_mod(f, _dbl_mod(d))
+    c8 = _dbl_mod(_dbl_mod(_dbl_mod(cc)))
+    y3 = _sub_mod(_mont_mul(e, _sub_mod(d, x3)), c8)
+    z3 = _dbl_mod(_mont_mul(y, z))
+    return x3, y3, z3
+
+
+# ---------------------------------------------------------------------------
+# Window join kernel
+# ---------------------------------------------------------------------------
+#
+# The Horner window join (ops/msm._join_windows) is depth-fundamental —
+# ~c*W sequential group doublings — but each XLA scan step costs ~0.23 ms
+# of dispatch/loop overhead, a fixed ~60 ms PER MSM that dominated every
+# commitment at prover domains (n <= 2^14). This kernel runs the same
+# 2^{cw}-weighting inside ONE Pallas program: lane w of sublane k holds
+# T_{k,w}; a fori_loop applies masked doublings (lane w doubles c*w
+# times), then a wrapping Hillis-Steele lane fold sums the weighted
+# windows. 252 doubles x ~20k vector ops ≈ 2 ms instead of 60.
+
+
+def _join_kernel(c: int, w_count: int, tx_ref, ty_ref, tz_ref, out_ref):
+    """Refs: tx/ty/tz (16, 8, 128) — limb-planes, sublane k = MSM index,
+    lane w = window; out (48, 8, 128) (all lanes hold the total after
+    the fold; caller reads lane 0)."""
+    x = [tx_ref[limb] for limb in range(NL)]
+    y = [ty_ref[limb] for limb in range(NL)]
+    z = [tz_ref[limb] for limb in range(NL)]
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # Padding lanes (w >= w_count) carry z=0 = infinity: adds ignore
+    # them, doublings keep them at infinity — no masking needed beyond
+    # the doubling count.
+    dbl_target = lane_w * c
+
+    def dbl_body(i, pt):
+        px, py, pz = pt
+        nx, ny, nz = _dbl_full_ll(px, py, pz)
+        m = dbl_target > i
+        return (
+            _select_ll(m, nx, px),
+            _select_ll(m, ny, py),
+            _select_ll(m, nz, pz),
+        )
+
+    x, y, z = jax.lax.fori_loop(0, c * (w_count - 1), dbl_body, (x, y, z))
+
+    def fold_body(i, pt):
+        fx, fy, fz = pt
+        shift = 64 >> i
+        rx = [pltpu.roll(v, -shift, 1) for v in fx]
+        ry = [pltpu.roll(v, -shift, 1) for v in fy]
+        rz = [pltpu.roll(v, -shift, 1) for v in fz]
+        return _add_full_ll(fx, fy, fz, rx, ry, rz)
+
+    x, y, z = jax.lax.fori_loop(0, 7, fold_body, (x, y, z))
+    for limb in range(NL):
+        out_ref[limb] = x[limb]
+        out_ref[NL + limb] = y[limb]
+        out_ref[2 * NL + limb] = z[limb]
+
+
+@functools.partial(jax.jit, static_argnames=("c", "interpret"))
+def join_windows_pallas(totals, c: int, interpret: bool = False):
+    """Batched Horner window join on the VPU: totals is a
+    JacobianPoint with batch shape (W,) or (K, W), K <= 8, W <= 128
+    (true for every window width c >= 2). Returns batch () or (K,)."""
+    x, y, z = totals.x, totals.y, totals.z
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, y, z = x[:, None], y[:, None], z[:, None]
+    k_count, w_count = x.shape[1], x.shape[2]
+    if k_count > 8 or w_count > 128:
+        raise ValueError(f"join kernel needs K<=8, W<=128; got {x.shape}")
+    pads = ((0, 0), (0, 8 - k_count), (0, 128 - w_count))
+    xp = jnp.pad(x, pads)
+    yp = jnp.pad(y, pads)
+    zp = jnp.pad(z, pads)  # zero z = infinity for padding slots
+    out = pl.pallas_call(
+        functools.partial(_join_kernel, c, w_count),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((48, 8, 128), jnp.uint32),
+        interpret=interpret,
+    )(xp, yp, zp)
+    res = C.JacobianPoint(
+        out[:NL, :k_count, 0],
+        out[NL : 2 * NL, :k_count, 0],
+        out[2 * NL :, :k_count, 0],
+    )
+    if squeeze:
+        res = jax.tree_util.tree_map(lambda a: a[..., 0], res)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -643,7 +749,7 @@ def msm_kernel_pallas(
         px, py, pinf, scalars, c, lanes, wc, interpret
     )
     totals = M._weighted_bucket_reduce(buckets)
-    return M._join_windows(totals, c)
+    return join_windows_pallas(totals, c, interpret)
 
 
 #: ONE-dispatch entry: the whole MSM (Pallas accumulation + XLA folds)

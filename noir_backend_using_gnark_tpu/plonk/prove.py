@@ -494,7 +494,9 @@ def _prove_impl(
         z_c = _blind(
             ops.intt(z_evals, domain), n, [draw_blind(), draw_blind(), draw_blind()]
         )
-        com_z = ops.commit(pk.srs, z_c)
+        # Through commit_many even for K=1: same packed single-readback
+        # path (and the Pallas window join on TPU).
+        (com_z,) = ops.commit_many(pk.srs, [z_c])
     sanitize.check_field(z_c, R, "prove.round2.z")
     if protocol == "gnark":
         alpha = GP.derive_randomness(gts, "alpha", (com_z,))
