@@ -461,11 +461,27 @@ def work() -> int:
         phases = {
             k: round(v - before.get(k, 0.0), 1) for k, v in after.items()
         }
+        # The DEFAULT artifact format (config.proof_format="gnark") has
+        # a different prover tail (linearized openings + host digest
+        # combos) — time it too so the product path is captured, not
+        # just the expanded layout.
+        with_retry(
+            lambda: pp.prove(
+                pk, assignment, rng_seed=b"\x01" * 32, protocol="gnark"
+            ),
+            f"{prefix}_gnark_warm",
+        )
+        t0 = time.time()
+        gp = pp.prove(pk, assignment, rng_seed=b"\x02" * 32, protocol="gnark")
+        gdt = time.time() - t0
+        gok = pv.verify(vk, gp, publics)
         emit_partial(**{
             f"{prefix}_domain_n": n_dom,
             f"{prefix}_prove_sec": round(dt, 4),
             f"{prefix}_proofs_per_sec": round(1.0 / dt, 3),
             f"{prefix}_verify_ok": bool(ok),
+            f"{prefix}_gnark_prove_sec": round(gdt, 4),
+            f"{prefix}_gnark_verify_ok": bool(gok),
             f"{prefix}_phase_ms": phases,
         })
 

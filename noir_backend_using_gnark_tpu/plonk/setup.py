@@ -136,7 +136,9 @@ def setup(pc: PlonkCircuit, srs: kzg.SRS) -> tuple[ProvingKey, VerifyingKey]:
     sig_evals = [F.from_ints(v, FR) for v in sigma]
     sig_coeffs = [N.intt(e, domain) for e in sig_evals]
 
-    commitments = [kzg.commit_ints(srs, c) for c in sel_coeffs + sig_coeffs]
+    # All 8 selector/sigma commitments in ONE dispatch + readback
+    # (shares the prover's stacked commit kernel + batched window join).
+    commitments = kzg.commit_many_ints(srs, sel_coeffs + sig_coeffs)
 
     vk = VerifyingKey(
         n=n,

@@ -41,7 +41,10 @@ R = FR_MODULUS
 
 
 def fq_inv(a: int) -> int:
-    return pow(a % Q, Q - 2, Q)
+    a %= Q
+    # Native extended-gcd inverse (~12 us) instead of a Fermat modpow
+    # (~80 us); 0 maps to 0 like the Fermat form did.
+    return pow(a, -1, Q) if a else 0
 
 
 def g1_is_on_curve(pt) -> bool:
@@ -76,25 +79,69 @@ def g1_neg(pt):
     return (x, (-y) % Q)
 
 
+def _g1_jdbl(P):
+    X, Y, Z = P
+    A = X * X % Q
+    B = Y * Y % Q
+    C = B * B % Q
+    D = 2 * ((X + B) * (X + B) - A - C) % Q
+    E = 3 * A % Q
+    F = E * E % Q
+    X3 = (F - 2 * D) % Q
+    Y3 = (E * (D - X3) - 8 * C) % Q
+    Z3 = 2 * Y * Z % Q
+    return (X3, Y3, Z3)
+
+
+def _g1_jmixed(P, x2, y2):
+    if P is None:
+        return (x2, y2, 1)
+    X1, Y1, Z1 = P
+    Z1Z1 = Z1 * Z1 % Q
+    U2 = x2 * Z1Z1 % Q
+    S2 = y2 * Z1 % Q * Z1Z1 % Q
+    H = (U2 - X1) % Q
+    r = (S2 - Y1) % Q
+    if H == 0:
+        return _g1_jdbl(P) if r == 0 else None
+    HH = H * H % Q
+    HHH = H * HH % Q
+    V = X1 * HH % Q
+    X3 = (r * r - HHH - 2 * V) % Q
+    Y3 = (r * (V - X3) - Y1 * HHH) % Q
+    Z3 = Z1 * H % Q
+    return (X3, Y3, Z3)
+
+
 def g1_mul(pt, k: int):
-    """k * pt by double-and-add, exact for any integer k.
+    """k * pt by Jacobian double-and-add (ONE final inversion), exact
+    for any integer k.
 
     Deliberately does NOT reduce k mod r: for points outside the
     r-torsion (possible on the twist; G1 itself has cofactor 1),
     ``mul(pt, r)`` must compute the true multiple so subgroup checks
     like ``g2_mul(pt, R) is None`` are meaningful. Callers with
-    in-subgroup points may pre-reduce for speed.
+    in-subgroup points may pre-reduce for speed. (The former affine
+    ladder paid a field inversion PER BIT — ~46 ms per multiply, which
+    dominated the gnark-protocol prover's host digest combinations.)
     """
     if k < 0:
         return g1_neg(g1_mul(pt, -k))
+    if pt is None or k == 0:
+        return None
+    x, y = pt
     acc = None
-    add = pt
-    while k:
-        if k & 1:
-            acc = g1_add(acc, add)
-        add = g1_add(add, add)
-        k >>= 1
-    return acc
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = _g1_jdbl(acc)
+        if bit == "1":
+            acc = _g1_jmixed(acc, x, y)
+    if acc is None or acc[2] % Q == 0:
+        return None
+    X, Y, Z = acc
+    zi = pow(Z, -1, Q)
+    zi2 = zi * zi % Q
+    return (X * zi2 % Q, Y * zi2 % Q * zi % Q)
 
 
 def g1_generator():
@@ -301,14 +348,59 @@ def g2_mul(pt, k: int):
     """
     if k < 0:
         return g2_neg(g2_mul(pt, -k))
-    acc = None
-    add = pt
-    while k:
-        if k & 1:
-            acc = g2_add(acc, add)
-        add = g2_add(add, add)
-        k >>= 1
-    return acc
+    if pt is None or k == 0:
+        return None
+    x, y = pt
+    acc = None  # Jacobian over FQ2, None = infinity
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            X, Y, Z = acc
+            A = X * X
+            B = Y * Y
+            C = B * B
+            D = ((X + B) * (X + B) - A - C) * 2
+            E = A * 3
+            X3 = E * E - D * 2
+            Y3 = E * (D - X3) - C * 8
+            Z3 = Y * Z * 2
+            acc = (X3, Y3, Z3)
+        if bit == "1":
+            if acc is None:
+                acc = (x, y, FQ2.one())
+            else:
+                X1, Y1, Z1 = acc
+                Z1Z1 = Z1 * Z1
+                U2 = x * Z1Z1
+                S2 = y * Z1 * Z1Z1
+                H = U2 - X1
+                r = S2 - Y1
+                if H.is_zero():
+                    if r.is_zero():
+                        A = X1 * X1
+                        B = Y1 * Y1
+                        C = B * B
+                        D = ((X1 + B) * (X1 + B) - A - C) * 2
+                        E = A * 3
+                        X3 = E * E - D * 2
+                        Y3 = E * (D - X3) - C * 8
+                        Z3 = Y1 * Z1 * 2
+                        acc = (X3, Y3, Z3)
+                    else:
+                        acc = None
+                else:
+                    HH = H * H
+                    HHH = H * HH
+                    V = X1 * HH
+                    X3 = r * r - HHH - V * 2
+                    Y3 = r * (V - X3) - Y1 * HHH
+                    Z3 = Z1 * H
+                    acc = (X3, Y3, Z3)
+    if acc is None or acc[2].is_zero():
+        return None
+    X, Y, Z = acc
+    zi = Z.inv()
+    zi2 = zi * zi
+    return (X * zi2, Y * zi2 * zi)
 
 
 def g2_in_subgroup(pt) -> bool:
