@@ -44,8 +44,17 @@ import time
 BASELINE_MSM_POINTS_PER_SEC = 1.0e6
 BUDGET = float(os.environ.get("NOIRTPU_BENCH_BUDGET", "420"))
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Repo-local persistent compile cache: /tmp does not survive between
+# invocations on some hosts (measured: a 420 s budget spent ~180 s
+# recompiling the MSM kernel from a cold /tmp cache), while the repo
+# checkout does. Both supervisor and workers run this module, so the
+# env default applies to every process. NOIRTPU_JAX_CACHE overrides.
+os.environ.setdefault("NOIRTPU_JAX_CACHE", os.path.join(_HERE, ".jax_cache"))
+
 POINTS_CACHE = os.environ.get(
-    "NOIRTPU_BENCH_POINTS", "/tmp/noirtpu_bench_points.npz"
+    "NOIRTPU_BENCH_POINTS", os.path.join(_HERE, ".jax_cache", "bench_points.npz")
 )
 BASE_LOG2 = 12  # 4096 distinct host-generated base points, tiled upward
 
@@ -250,6 +259,7 @@ def host_base_points(n: int):
     xs = bigint.ints_to_limb_array_fast([p[0] * r_mont % q for p in pts])
     ys = bigint.ints_to_limb_array_fast([p[1] * r_mont % q for p in pts])
     try:
+        os.makedirs(os.path.dirname(POINTS_CACHE) or ".", exist_ok=True)
         np.savez(POINTS_CACHE, x=xs, y=ys)
     except OSError:
         pass

@@ -363,6 +363,7 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     # such explicit overrides through the XLA path instead.
     if _use_pallas(n) and (c is None or c <= 7):
         from . import msm_pallas
+        from ..utils import aot
 
         cp = c or 6  # measured best under the VMEM-resident kernel
         pad = (-n) % msm_pallas.LANES
@@ -371,7 +372,18 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
             py = jnp.pad(py, ((0, 0), (0, pad)))
             pinf = jnp.pad(pinf, ((0, pad)), constant_values=True)
             scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
-        return msm_pallas.msm_pallas(px, py, pinf, scalars, cp)
+        # AOT artifact store: tracing this kernel costs ~60-130 s per
+        # process at 2^22 (utils/aot.py); artifact hit = ~2 s cold.
+        return aot.call_aot(
+            "msm_pallas",
+            msm_pallas.msm_kernel_pallas,
+            px,
+            py,
+            pinf,
+            scalars,
+            statics=dict(c=cp),
+            src_modules=("ops.msm_pallas", "ops.msm", "ops.curve", "ops.field"),
+        )
     c = c or default_window_bits(n)
     lanes = _lanes_for(n, c)
     pad = (-n) % lanes

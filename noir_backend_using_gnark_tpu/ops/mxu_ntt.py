@@ -375,6 +375,12 @@ def ntt_mxu(x: jax.Array, inverse: bool = False) -> jax.Array:
         return ntt_mxu_big(x, inverse)
     dom = MxuDomain.get(x.shape[-1])
     w1, tw, w2 = dom.inv if inverse else dom.fwd
+    # NOTE: deliberately NOT routed through utils/aot.py — this graph
+    # traces in seconds (tables are runtime args, the compiled module
+    # stays small) and the exported-call wrapper measurably slowed the
+    # steady-state dispatch (0.8 s -> 3.4 s per 2^20 transform under
+    # bench conditions). AOT is for kernels whose TRACING dominates
+    # cold start (the Pallas MSM: ~9 MB StableHLO, 60-130 s).
     return _ntt_mxu_jit(x, w1, tw, w2, dom.n_inv, dom.n1, dom.n2, inverse)
 
 

@@ -22,12 +22,24 @@ def setup_jax(cache_dir: str | None = None) -> None:
         return
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "NOIRTPU_JAX_CACHE", "/tmp/noirtpu_jax_cache"
+    cache_dir = cache_dir or os.environ.get("NOIRTPU_JAX_CACHE") or os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "noirtpu",
+        "jax",
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # The GPU-only XLA side caches (kernel cache, per-fusion autotune
+    # cache) embed the cache-dir PATH in compile_options, which is
+    # hashed into the persistent-cache key — so merely relocating the
+    # cache directory invalidates every entry (measured: a ~3 min
+    # Pallas MSM recompile after a cache move). They do nothing on
+    # TPU/CPU; disable them so keys depend only on the computation.
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:  # noqa: BLE001 — older jax without this flag
+        pass
     # Deterministic cache keys across processes: with tracebacks in
     # HLO locations, the Pallas MSM kernel's module hash differed per
     # process (round-3 observation: two jit_msm_kernel_pallas entries

@@ -128,9 +128,19 @@ def _configure_jax():
     # Persistent compilation cache: the limb-arithmetic graphs are big
     # (a mont_mul traces to ~300 HLO ops, a curve add to ~2.5k) and
     # dominate first-run test wall-clock; cache across invocations.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/noirtpu_jax_cache")
+    cache_dir = os.environ.get("NOIRTPU_JAX_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Keep cache keys independent of the cache-dir path (see
+    # utils/runtime.py: the GPU-only XLA side caches embed the path
+    # in compile_options, which is hashed into the key).
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
 
 
 @pytest.fixture
