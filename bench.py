@@ -88,12 +88,17 @@ WORKER_GROUPS = [
     # memory-pressure artifact of timing the NTT right after the MSM's
     # ~1.5 GB of live arrays (clean-memory numbers: mxu 1.12M vs scan
     # 0.63M elems/s at 2^20 — mxu wins at every size measured).
-    ("core", "ntt_mxu_2e20,ntt_scan_2e20,plonk,fr_mul,msm_2e22", 30),
-    ("msm24", "msm_2e24", 150),
-    ("ntt24", "ntt_mxu_2e24", 150),
+    # Round-5 restructure: msm_2e24 is CHUNKED over the 2^22 executable
+    # (ops/msm.py PALLAS_CHUNK), so it rides in the core worker and
+    # reuses the artifact the 2^22 section just loaded (~15 s instead
+    # of a ~110 s monolith load in its own process). The 2^24 NTT is
+    # still its own big executable and keeps its own worker.
+    ("core", "ntt_mxu_2e20,plonk,msm_2e22,msm_2e24", 30),
+    ("ntt24", "ntt_mxu_2e24", 160),
     # 2^14-domain prove: shapes pre-compiled into the persistent cache
     # during the round, so warm cost is ~60-90 s.
     ("plonk14", "plonk_2e14", 110),
+    ("small", "ntt_scan_2e20,fr_mul", 50),
     ("ntt22", "ntt_mxu_2e22,ntt_scan_2e22", 90),
     ("groth16", "groth16", 150),
     ("srs20", "srs_2e20", 110),
@@ -592,10 +597,10 @@ def work() -> int:
         ("msm_2e22", 90, lambda _: run_msm(22), 22 <= max_msm),
         ("ntt_mxu_2e20", 60, lambda _: run_ntt("mxu", 20), mxu_on and 20 <= max_ntt),
         ("plonk", 60, run_plonk, True),
-        ("msm_2e24", 120, lambda _: run_msm(24), 24 <= max_msm),
+        ("msm_2e24", 60, lambda _: run_msm(24), 24 <= max_msm),
         ("plonk_2e14", 90, lambda _: run_plonk(None, rows=16380, prefix="plonk_2e14"), True),
         ("ntt_mxu_2e22", 60, lambda _: run_ntt("mxu", 22), mxu_on and 22 <= max_ntt),
-        ("ntt_mxu_2e24", 90, lambda _: run_ntt("mxu", 24), mxu_on and 24 <= max_ntt),
+        ("ntt_mxu_2e24", 150, lambda _: run_ntt("mxu", 24), mxu_on and 24 <= max_ntt),
         ("ntt_scan_2e20", 45, lambda _: run_ntt("scan", min(20, max_ntt)), True),
         ("ntt_scan_2e22", 60, lambda _: run_ntt("scan", 22), 22 <= max_ntt),
         ("srs_2e20", 90, run_srs20, True),

@@ -344,6 +344,63 @@ def _use_pallas(n: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+#: Chunk size for the Pallas path: the largest size whose executable
+#: stays small enough to load fast; larger MSMs partition over it.
+PALLAS_CHUNK = 1 << 22
+
+_fold_add = None  # lazily jitted C.add for shape-() Jacobian points
+
+
+def _pallas_aot_call(px, py, pinf, scalars, cp):
+    """One Pallas MSM dispatch through the AOT artifact store
+    (utils/aot.py): tracing this kernel costs ~60-130 s per process at
+    2^22; an artifact hit is ~2 s cold."""
+    from . import msm_pallas
+    from ..utils import aot
+
+    return aot.call_aot(
+        "msm_pallas",
+        msm_pallas.msm_kernel_pallas,
+        px,
+        py,
+        pinf,
+        scalars,
+        statics=dict(c=cp),
+        src_modules=("ops.msm_pallas", "ops.msm", "ops.curve", "ops.field"),
+    )
+
+
+def _msm_chunked(chunk_fn, px, py, pinf, scalars, cp, chunk: int | None = None):
+    """MSM over > chunk points as a sum of fixed-shape chunk MSMs.
+
+    Every chunk call has IDENTICAL shapes (the tail is padded with
+    infinity points / zero scalars, which the kernels treat as
+    identity), so all chunks share one compiled executable. Partial
+    Jacobian results fold with the complete device add (ops/curve.add).
+    """
+    global _fold_add
+    chunk = chunk or PALLAS_CHUNK
+    n = px.shape[-1]
+    parts = []
+    for i in range(0, n, chunk):
+        end = min(i + chunk, n)
+        tail = chunk - (end - i)
+        cx, cy = px[:, i:end], py[:, i:end]
+        cinf, csc = pinf[i:end], scalars[:, i:end]
+        if tail:
+            cx = jnp.pad(cx, ((0, 0), (0, tail)))
+            cy = jnp.pad(cy, ((0, 0), (0, tail)))
+            cinf = jnp.pad(cinf, ((0, tail)), constant_values=True)
+            csc = jnp.pad(csc, ((0, 0), (0, tail)))
+        parts.append(chunk_fn(cx, cy, cinf, csc, cp))
+    if _fold_add is None:
+        _fold_add = jax.jit(C.add)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = _fold_add(acc, p)
+    return acc
+
+
 def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.JacobianPoint:
     """sum_i scalars[i] * points[i] — ONE device dispatch.
 
@@ -363,7 +420,6 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
     # such explicit overrides through the XLA path instead.
     if _use_pallas(n) and (c is None or c <= 7):
         from . import msm_pallas
-        from ..utils import aot
 
         cp = c or 6  # measured best under the VMEM-resident kernel
         pad = (-n) % msm_pallas.LANES
@@ -372,18 +428,15 @@ def msm(points: AffineBatch, scalars: jax.Array, c: int | None = None) -> C.Jaco
             py = jnp.pad(py, ((0, 0), (0, pad)))
             pinf = jnp.pad(pinf, ((0, pad)), constant_values=True)
             scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
-        # AOT artifact store: tracing this kernel costs ~60-130 s per
-        # process at 2^22 (utils/aot.py); artifact hit = ~2 s cold.
-        return aot.call_aot(
-            "msm_pallas",
-            msm_pallas.msm_kernel_pallas,
-            px,
-            py,
-            pinf,
-            scalars,
-            statics=dict(c=cp),
-            src_modules=("ops.msm_pallas", "ops.msm", "ops.curve", "ops.field"),
-        )
+        if px.shape[-1] > PALLAS_CHUNK:
+            # One executable for every size: n > 2^22 partitions into
+            # 2^22 chunks that all reuse the SAME AOT artifact (a 2^24
+            # monolith is a distinct ~60 MB executable costing ~110 s
+            # to load per process through the compile relay; chunk
+            # reuse loads ~16 MB once — measured round 5). Cost: K-1
+            # Jacobian adds + ~6% throughput vs the monolith.
+            return _msm_chunked(_pallas_aot_call, px, py, pinf, scalars, cp)
+        return _pallas_aot_call(px, py, pinf, scalars, cp)
     c = c or default_window_bits(n)
     lanes = _lanes_for(n, c)
     pad = (-n) % lanes

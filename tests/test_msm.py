@@ -128,3 +128,28 @@ def test_pallas_rejects_int8_overflow_window():
     pinf = np.zeros(n, bool)
     with pytest.raises(ValueError, match="c <= 7|int8"):
         MP.accumulate_buckets_pallas(px, px, pinf, sc, c=8, interpret=True)
+
+
+def test_msm_chunked_matches_single(rng):
+    """_msm_chunked (the >PALLAS_CHUNK partition used on TPU) must
+    equal a single-shot MSM. Driven here with the XLA kernel as the
+    chunk function so the fold logic is exercised on CPU."""
+    import jax
+
+    from noir_backend_using_gnark_tpu.ops import curve as C
+
+    g = H.g1_generator()
+    n = 24  # 3 chunks of 8 + tail padding inside the helper
+    pts = [H.g1_mul(g, rng.randrange(1, H.R)) for _ in range(n)]
+    scalars = [rng.randrange(H.R) for _ in range(n)]
+    want = H.g1_msm(pts, scalars)
+
+    batch = M.affine_from_ints(pts)
+    sc = F.from_ints(scalars, F.FR, to_mont=False)
+
+    def chunk_fn(px, py, pinf, csc, c):
+        return M._msm_jit(px, py, pinf, csc, c, px.shape[-1])
+
+    out = M._msm_chunked(chunk_fn, batch.x, batch.y, batch.inf, sc, 4, chunk=10)
+    got = C.to_affine_ints(jax.tree_util.tree_map(lambda a: a[..., None], out))[0]
+    assert got == want
